@@ -1,0 +1,140 @@
+"""Transitive closure [J6]: large-star / small-star connected components.
+
+The reference uses an in-RAM union-find with path compression
+(``dupes-core/src/grouper.rs:154-168, 277-290``) — fundamentally
+single-machine. The distributed re-derivation (demanded verbatim by
+BASELINE.json north_rule) is the alternating large-star/small-star
+algorithm of Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14): each round is two groupBy-min + join passes over the edge list,
+converging in O(log n) rounds to star graphs whose centers are the
+component minima.
+
+Node ids are xxhash64(url) (8-byte shuffle keys instead of url strings).
+Collision bound: ~n²/2^65 expected collisions — negligible below ~10^9
+docs; a 128-bit hash (two xxhash64 seeds) is the documented upgrade for
+10^12-doc runs. Each iteration localCheckpoints to cut lineage (SURVEY §7.4
+risk 1); convergence is an exact edge-set fingerprint match, not a count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to min(Γ⁺(u))."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", F.col("src")).alias("mn"))
+    )
+    return (
+        sym.join(mins, "src", "inner")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Canonicalize u>v, then connect all smaller neighbors and u itself to
+    the neighborhood minimum."""
+    canon = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = canon.groupBy("src").agg(F.min("dst").alias("mn"))
+    with_self = canon.unionByName(
+        canon.select("src", F.col("src").alias("dst")).distinct()
+    )
+    return (
+        with_self.join(mins, "src", "inner")
+        .filter(F.col("dst") != F.col("mn"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Order-independent fingerprint of the canonical edge set — the same
+    sorted/sum-hash idea as Fingerprint::from_fingerprints, computed as one
+    aggregate action."""
+    row = (
+        edges.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent, overflow-free under ANSI mode
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components_ids(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """edges(src BIGINT, dst BIGINT) -> (node BIGINT, component BIGINT)
+    where component is the minimum node id in the node's component."""
+    cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    cur = cur.localCheckpoint(eager=True)
+    prev_fp = _edge_fingerprint(cur)
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iterations} rounds"
+        )
+    # converged: edges are (member -> center) stars; centers label themselves
+    members = cur.select(
+        F.greatest("src", "dst").alias("node"),
+        F.least("src", "dst").alias("component"),
+    ).distinct()
+    centers = members.select(
+        F.col("component").alias("node"), F.col("component")
+    ).distinct()
+    return members.unionByName(centers).distinct()
+
+
+def connected_components(edges_by_url: DataFrame) -> DataFrame:
+    """edges(url_a, url_b, ...) -> clusters(url, cluster_id) where
+    cluster_id is the lexicographically minimal url in the component.
+
+    Because node id = xxhash64(url) and components are labeled by min ID
+    (not min url), the center url is recovered by joining ids back — the
+    label is deterministic either way; "min id" is just as stable as
+    "min url" and cheaper to compute.
+    """
+    nodes = (
+        edges_by_url.select(F.col("url_a").alias("url"))
+        .unionByName(edges_by_url.select(F.col("url_b").alias("url")))
+        .distinct()
+        .withColumn("node", F.xxhash64("url"))
+    )
+    id_edges = edges_by_url.select(
+        F.xxhash64("url_a").alias("src"), F.xxhash64("url_b").alias("dst")
+    )
+    comp = connected_components_ids(id_edges)
+    center_urls = nodes.select(
+        F.col("node").alias("component"), F.col("url").alias("cluster_id")
+    )
+    return (
+        nodes.join(comp, "node", "inner")
+        .join(center_urls, "component", "inner")
+        .select("url", "cluster_id")
+    )

@@ -1,0 +1,134 @@
+"""Per-document preparation + the exact-duplicate tier.
+
+Reference semantics:
+  prepare      — scan → parse → normalize → fingerprint per unit
+                 (``dupes-core/src/lib.rs:41-70``), min-size gate (P3,
+                 ``dupes-rust/src/parser.rs:66-72``), test-code tag/filter
+                 (P4, ``parser.rs:14-26``, filter at ``lib.rs:60-62``),
+                 exclude patterns (S1/S2, ``scanner.rs:40-90``)
+  exact tier   — group equal fingerprints, keep groups with >1 member,
+                 deterministic (size desc, fp asc) ordering
+                 (``dupes-core/src/grouper.rs:61-90``)
+
+Everything here is narrow transformations + one hash aggregate; the only
+Python is the html-extraction pandas UDF (skipped entirely when the corpus
+is pre-extracted). At 100 TB the groupBy('fingerprint') is a single shuffle
+on a 8-byte key with map-side partial aggregation — members stay in a
+normalized memberships table, never a collect_list of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..functions.extract import extracted_text_col
+from ..functions.fingerprint import fingerprint_col
+from ..functions.normalize import (
+    is_boilerplate_col,
+    n_tokens_col,
+    normalize_text_col,
+)
+
+
+def prepare(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """web_pages -> fingerprints table (the CodeUnit-row analog).
+
+    Filters (url excludes, lang selection) are plain pushed-down predicates;
+    the min-token gate runs before any shuffle (the reference gates at parse
+    time for the same reason). Boilerplate is TAGGED here and filtered by
+    config, mirroring tag-then-filter of test code.
+    """
+    df = web_pages
+    for pat in cfg.url_exclude:  # S2: substring excludes, OR-folded
+        df = df.filter(~F.col("url").contains(pat))
+    if cfg.langs:
+        df = df.filter(F.col("lang").isin(list(cfg.langs)))
+
+    needs_extract = "html" in df.columns
+    text_col = extracted_text_col("html", "text") if needs_extract else F.col("text")
+    df = df.select(
+        "url",
+        "lang",
+        text_col.alias("extracted_text"),
+    )
+    df = df.select(
+        "url",
+        "lang",
+        normalize_text_col("extracted_text", cfg).alias("norm_text"),
+        F.length("extracted_text").cast("int").alias("n_chars"),
+    )
+    df = df.select(
+        "url",
+        "lang",
+        "norm_text",
+        fingerprint_col("norm_text").alias("fingerprint"),
+        n_tokens_col("norm_text").alias("n_tokens"),
+        "n_chars",
+        is_boilerplate_col("norm_text").alias("is_boilerplate"),
+    )
+    df = df.filter(F.col("n_tokens") >= cfg.min_tokens)  # P3
+    if cfg.exclude_boilerplate:  # P4 filter toggle
+        df = df.filter(~F.col("is_boilerplate"))
+    return df
+
+
+def exact_memberships(fingerprints: DataFrame) -> DataFrame:
+    """Exact tier as a memberships table: every url whose fingerprint occurs
+    >1 time, labeled with the fingerprint as group key (G1). A window count
+    avoids materializing member arrays — scales to arbitrarily hot groups.
+    """
+    counts = (
+        fingerprints.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+    return (
+        fingerprints.join(counts, "fingerprint", "inner")
+        .select(
+            "url",
+            F.col("fingerprint").alias("group_fp"),
+            F.lit("exact").alias("tier"),
+            F.lit(1.0).alias("similarity"),
+        )
+    )
+
+
+def exact_representatives(fingerprints: DataFrame) -> DataFrame:
+    """One representative url per distinct fingerprint (min url — the
+    deterministic member ordering of grouper.rs:82-88). Near-dup stages run
+    on representatives only: the reference excludes exact-matched units from
+    the pairwise pool (J1, grouper.rs:100-108); carrying one representative
+    keeps exact-dup docs participating in near-dup recall accounting
+    (SURVEY §7.4 risk 2).
+    """
+    w_min = (
+        fingerprints.groupBy("fingerprint")
+        .agg(F.min("url").alias("url"))
+    )
+    return fingerprints.join(w_min, ["fingerprint", "url"], "inner")
+
+
+def exact_groups(fingerprints: DataFrame) -> DataFrame:
+    """Small-scale group view with member arrays + deterministic ordering
+    (size desc, fp asc — grouper.rs:82-88). For reports/tests; the scale
+    path is exact_memberships."""
+    return (
+        fingerprints.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sort_array(F.collect_list("url")).alias("members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            F.col("fingerprint").alias("group_fp"),
+            F.lit("exact").alias("tier"),
+            F.col("n_members").cast("int"),
+            F.lit(1.0).alias("similarity"),
+            F.col("total_tokens").cast("long"),
+            "members",
+        )
+        .orderBy(F.desc("n_members"), F.asc("group_fp"))
+    )

@@ -1,0 +1,220 @@
+"""Pipeline orchestration [O1/O2] — the `analyze()` stage graph.
+
+Reference flow (``dupes-core/src/lib.rs:41-154``): read → parse → filter →
+exact groups → near groups → sub-units → ignore filter → stats. Here each
+stage commits its output through the Catalog (checkpoint = Iceberg snapshot
+or parquet + meta sidecar) and a resumed run SKIPS stages whose output
+already exists under the same config hash — the north_rule "resumes
+mid-run" contract. Per-stage lineage and wall-clock metrics are appended as
+they complete.
+
+Detector composition: 'minhash' and 'simhash' are interchangeable
+candidate generators for the near tier (both verified by exact Jaccard);
+'substring' is its own tier with its own clustering (the reference keeps
+sub-unit groups separate from near groups, lib.rs:89-118).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..functions.minhash import minhash_udf
+from ..functions.shingles import shingles_col
+from ..functions.simhash import simhash_udf
+from ..operators.connected_components import connected_components
+from ..operators.exact import exact_memberships, exact_representatives, prepare
+from ..operators.groups import cluster_memberships, filter_ignored
+from ..operators.lsh import minhash_bands, pairs_from_buckets, simhash_buckets
+from ..operators.stats import compute_stats
+from ..operators.substring import substring_candidates, verify_substring_pairs
+from ..operators.verify import verify_pairs
+from ..schemas import CANDIDATE_PAIRS, CLUSTERS, VERIFIED_EDGES
+from ..sources.catalog import Catalog
+from ..sources.ignore import load_ignore
+
+ALL_DETECTORS = ("minhash", "simhash", "substring")
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig,
+        catalog: Catalog | None = None,
+        detectors: tuple[str, ...] = ("minhash", "substring"),
+        resume: bool = False,
+    ):
+        unknown = set(detectors) - set(ALL_DETECTORS)
+        if unknown:
+            raise ValueError(f"unknown detectors: {sorted(unknown)}")
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = catalog or Catalog(
+            spark, cfg.warehouse, cfg.config_hash()
+        )
+        self.detectors = detectors
+        self.resume = resume
+        self.stage_log: list[str] = []  # executed vs skipped, for tests
+
+    # ------------------------------------------------------------------
+    def _stage(self, name: str, build) -> DataFrame:
+        """Run-or-resume one stage: skip if committed under this config."""
+        if self.resume and self.catalog.is_complete(name):
+            self.stage_log.append(f"skip:{name}")
+            return self.catalog.read(name)
+        t0 = time.monotonic()
+        df = build()
+        out = self.catalog.checkpoint(df, name)
+        self.catalog.record_lineage(out, name)
+        self.catalog.record_metrics(
+            name,
+            {
+                "rows": out.count(),
+                "wall_seconds": time.monotonic() - t0,
+            },
+        )
+        self.stage_log.append(f"run:{name}")
+        return out
+
+    # ------------------------------------------------------------------
+    def run(self, web_pages: DataFrame) -> dict[str, DataFrame]:
+        cfg = self.cfg
+
+        fingerprints = self._stage(
+            "fingerprints", lambda: prepare(web_pages, cfg)
+        )
+
+        exact = self._stage(
+            "exact_memberships", lambda: exact_memberships(fingerprints)
+        )
+
+        # near/substring tiers operate on one representative per distinct
+        # fingerprint (J1 pre-exclusion, grouper.rs:100-108)
+        reps = self._stage(
+            "representatives", lambda: exact_representatives(fingerprints)
+        )
+
+        def build_signatures() -> DataFrame:
+            base = reps.select(
+                "url",
+                "lang",
+                shingles_col("norm_text", cfg.shingle_k, cfg.shingle_seed).alias(
+                    "shingles"
+                ),
+            )
+            if "minhash" in self.detectors:
+                base = base.withColumn(
+                    "minhash",
+                    minhash_udf(cfg.num_perm, cfg.minhash_seed)(F.col("shingles")),
+                )
+            else:
+                base = base.withColumn(
+                    "minhash", F.lit(None).cast("array<bigint>")
+                )
+            base = base.withColumn("simhash", simhash_udf()(F.col("shingles")))
+            return base
+
+        signatures = self._stage("signatures", build_signatures)
+
+        def build_candidates() -> DataFrame:
+            parts, dropped_total = [], 0
+            if "minhash" in self.detectors:
+                pairs, dropped = pairs_from_buckets(
+                    minhash_bands(signatures, cfg), cfg, "near"
+                )
+                parts.append(pairs)
+                dropped_total += dropped.count()
+            if "simhash" in self.detectors:
+                pairs, dropped = pairs_from_buckets(
+                    simhash_buckets(signatures, cfg), cfg, "simhash"
+                )
+                parts.append(pairs)
+                dropped_total += dropped.count()
+            if "substring" in self.detectors:
+                pairs, dropped = substring_candidates(reps, cfg)
+                parts.append(pairs)
+                dropped_total += dropped.count()
+            # never silently drop: mega-bucket count is a first-class metric
+            self.catalog.record_metrics(
+                "candidates", {"dropped_buckets": float(dropped_total)}
+            )
+            if not parts:
+                return self.spark.createDataFrame([], CANDIDATE_PAIRS)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        candidates = self._stage("candidate_pairs", build_candidates)
+
+        def build_edges() -> DataFrame:
+            near_cand = candidates.filter(F.col("tier").isin("near", "simhash"))
+            # a pair found by both detectors verifies once
+            near_cand = (
+                near_cand.groupBy("url_a", "url_b")
+                .agg(F.min("tier").alias("tier"))  # 'near' < 'simhash'
+            )
+            near_edges = verify_pairs(near_cand, signatures, cfg).withColumn(
+                "tier", F.lit("near")
+            )
+            sub_cand = candidates.filter(F.col("tier") == "substring")
+            if "substring" in self.detectors:
+                sub_edges = verify_substring_pairs(sub_cand, reps, cfg)
+                return near_edges.unionByName(sub_edges)
+            return near_edges
+
+        edges = self._stage("verified_edges", build_edges)
+
+        def build_clusters() -> DataFrame:
+            outs = []
+            for tier in ("near", "substring"):
+                tier_edges = edges.filter(F.col("tier") == tier)
+                outs.append(
+                    connected_components(tier_edges).withColumn(
+                        "tier", F.lit(tier)
+                    )
+                )
+            out = outs[0]
+            for p in outs[1:]:
+                out = out.unionByName(p)
+            return out
+
+        clusters = self._stage("clusters", build_clusters)
+
+        def build_memberships() -> DataFrame:
+            parts = [exact]
+            for tier in ("near", "substring"):
+                tier_clusters = clusters.filter(F.col("tier") == tier).select(
+                    "url", "cluster_id"
+                )
+                tier_edges = edges.filter(F.col("tier") == tier)
+                parts.append(
+                    cluster_memberships(
+                        tier_clusters, tier_edges, fingerprints, tier
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return filter_ignored(out, load_ignore(self.catalog))
+
+        memberships = self._stage("memberships", build_memberships)
+
+        stats = self._stage(
+            "stats", lambda: compute_stats(fingerprints, memberships)
+        )
+
+        return {
+            "fingerprints": fingerprints,
+            "signatures": signatures,
+            "candidate_pairs": candidates,
+            "verified_edges": edges,
+            "clusters": clusters,
+            "exact_memberships": exact,
+            "memberships": memberships,
+            "stats": stats,
+        }

@@ -1,0 +1,135 @@
+"""Fixed StructType schemas for every table in the pipeline.
+
+The reference's schema is fixed at compile time (Rust structs,
+``dupes-core/src/code_unit.rs:41-55``); here each table is declared once and
+never inferred. Table roles:
+
+  web_pages       — input (BASELINE.json input_hint shape)
+  fingerprints    — per-doc derived columns (CodeUnit analog)
+  candidate_pairs — LSH/SimHash/substring candidates pre-verification
+  verified_edges  — pairs passing Jaccard/Hamming/substring verification
+  clusters        — connected-components labels (url -> cluster_id)
+  dup_groups      — DuplicateGroup analog (grouper.rs:9-17)
+  memberships     — normalized group membership (scales past collect_list)
+  metrics         — DuplicationStats analog (grouper.rs:21-57), one row/run
+  lineage         — per-stage per-partition row accounting (north_rule)
+  ignore          — IgnoreFile analog (ignore.rs:12-29)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+WEB_PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+FINGERPRINTS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("norm_text", T.StringType(), True),
+        T.StructField("fingerprint", T.LongType(), True),
+        T.StructField("n_tokens", T.IntegerType(), True),
+        T.StructField("n_chars", T.IntegerType(), True),
+        T.StructField("is_boilerplate", T.BooleanType(), True),
+    ]
+)
+
+SIGNATURES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("shingles", T.ArrayType(T.LongType()), True),
+        T.StructField("minhash", T.ArrayType(T.LongType()), True),
+        T.StructField("simhash", T.LongType(), True),
+    ]
+)
+
+CANDIDATE_PAIRS = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("tier", T.StringType(), False),  # near|simhash|substring
+    ]
+)
+
+VERIFIED_EDGES = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("tier", T.StringType(), False),
+        T.StructField("similarity", T.DoubleType(), True),
+    ]
+)
+
+CLUSTERS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("cluster_id", T.StringType(), False),
+        T.StructField("tier", T.StringType(), False),
+    ]
+)
+
+MEMBERSHIPS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("group_fp", T.LongType(), False),
+        T.StructField("tier", T.StringType(), False),
+        T.StructField("similarity", T.DoubleType(), True),
+    ]
+)
+
+DUP_GROUPS = T.StructType(
+    [
+        T.StructField("group_fp", T.LongType(), False),
+        T.StructField("tier", T.StringType(), False),
+        T.StructField("n_members", T.IntegerType(), False),
+        T.StructField("similarity", T.DoubleType(), True),
+        T.StructField("total_tokens", T.LongType(), True),
+        T.StructField("members", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+METRICS = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("config_hash", T.StringType(), False),
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+LINEAGE = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("n_in", T.LongType(), True),
+        T.StructField("n_out", T.LongType(), True),
+        T.StructField("n_failed", T.LongType(), True),
+        T.StructField("error_sample", T.StringType(), True),
+    ]
+)
+
+IGNORE = T.StructType(
+    [
+        T.StructField("fingerprint", T.LongType(), False),
+        T.StructField("reason", T.StringType(), True),
+    ]
+)
+
+ORACLE_PAIRS = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("tier", T.StringType(), False),
+    ]
+)
