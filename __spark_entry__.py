@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline extensions); ``oracle_sql()`` holds the DuckDB
+equivalent run by the driver at sf=0.01. Planted-duplicate unions are
+constructed identically on both sides (the driver tables carry no
+duplicates, TESTDATA.md). Float outputs are emitted as ``*_e6`` BIGINT so
+value-hash comparison is exact.
 """
 
 from __future__ import annotations
@@ -12,27 +13,480 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cargo_dupes_spark.config import PipelineConfig
+from cargo_dupes_spark.functions.normalize import (
+    is_boilerplate_col,
+    is_boilerplate_sql,
+    n_tokens_col,
+    n_tokens_sql,
+    normalize_text_col,
+    normalize_text_sql,
+)
+from cargo_dupes_spark.functions.textstats import (
+    lang_id_col,
+    lang_id_sql,
+    quality_score_col,
+    quality_score_sql,
+    token_count_col,
+    token_count_sql,
+    whitespace_token_count_col,
+    whitespace_token_count_sql,
+)
+from cargo_dupes_spark.operators import dedup
+from cargo_dupes_spark.operators.dedup import (
+    CFG,
+    EXACT_COPY_MOD,
+    EXACT_COPY_OFFSET,
+    NEAR_COPY_MOD,
+    NEAR_COPY_OFFSET,
+    NEAR_SUFFIX,
+    SPAN_COPY_MOD,
+    SPAN_COPY_OFFSET,
+    load_documents,
+    load_embeddings,
+    normalized,
+    with_exact_copies,
+)
+from cargo_dupes_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_col,
+    embedding_near_dup_pairs,
+)
+
+_NORM = normalize_text_sql("text", CFG)
+_K = CFG.shingle_k
 
 
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the MinHash→LSH→verify near-dup path over sf0.001 documents
+    with planted near-copies (the core graft semantics end-to-end)."""
+    return dedup.minhash_near_pairs(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+def _q_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_documents(spark, sf)
+    return docs.select(
+        "doc_id",
+        normalize_text_col("text", CFG).alias("norm_text"),
+    ).withColumn("n_tokens", n_tokens_col("norm_text")).orderBy("doc_id")
+
+
+def _q_min_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    # P3 size gate
+    n = normalized(load_documents(spark, sf))
+    return n.filter(F.col("n_tokens") >= 30).select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+def _q_lang_partition(spark: SparkSession, sf: str) -> DataFrame:
+    # P6 per-language partitioning counts
+    n = normalized(load_documents(spark, sf))
+    return (
+        n.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").cast("long").alias("sum_tokens"))
+        .orderBy("lang")
+    )
+
+
+def _q_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # G2/G4 duplication stats over the exact-copy union
+    docs = normalized(with_exact_copies(load_documents(spark, sf)))
+    sized = docs.groupBy("norm_text").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+    )
+    return sized.agg(
+        F.sum("n").cast("long").alias("total_docs"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).cast("long").alias("dup_docs"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("dup_groups"),
+        F.round(
+            F.sum(F.when(F.col("n") > 1, F.col("tok")).otherwise(0))
+            * 1e6
+            / F.sum("tok")
+        ).cast("long").alias("dup_token_pct_e6_of_1e6"),
+    )
+
+
+def _q_ignore_anti(spark: SparkSession, sf: str) -> DataFrame:
+    # I1 ignore anti-join: drop groups whose rep_id is on the ignore list
+    groups = dedup.exact_dup_groups(spark, sf)
+    ignore = groups.select("rep_id").filter(F.col("rep_id") % 3 == 0)
+    return groups.join(ignore, "rep_id", "left_anti").orderBy("rep_id")
+
+
+def _q_ordering(spark: SparkSession, sf: str) -> DataFrame:
+    # J8/G1 deterministic ordering + limit
+    return (
+        dedup.exact_dup_groups(spark, sf)
+        .orderBy(F.desc("n_members"), F.asc("rep_id"))
+        .limit(20)
+    )
+
+
+def _q_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    # F7 distinct k-token shingle counts
+    n = normalized(load_documents(spark, sf))
+    from cargo_dupes_spark.functions.shingles import shingles_col
+
+    return n.select(
+        "doc_id",
+        F.size(shingles_col("norm_text", _K, CFG.shingle_seed)).alias("n_shingles"),
+    ).orderBy("doc_id")
+
+
+def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    # P4 boilerplate tagging over documents + planted boilerplate rows
+    docs = load_documents(spark, sf)
+    planted = spark.createDataFrame(
+        [
+            (9000001, "404 Not Found - this page is missing", "en", "synthetic", 37),
+            (9000002, "This domain is parked free courtesy of registrar", "en", "synthetic", 49),
+        ],
+        docs.schema,
+    )
+    both = docs.unionByName(planted)
+    return both.select(
+        "doc_id",
+        is_boilerplate_col(normalize_text_col("text", CFG)).alias("is_boilerplate"),
+    ).orderBy("doc_id")
+
+
+def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_documents(spark, sf)
+    return docs.select(
+        "doc_id",
+        (F.round(quality_score_col("text") * 1e6)).cast("long").alias("quality_e6"),
+    ).orderBy("doc_id")
+
+
+def _q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_documents(spark, sf)
+    return docs.select(
+        "doc_id",
+        whitespace_token_count_col("text").cast("long").alias("ws_tokens"),
+        token_count_col("text").cast("long").alias("subword_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_documents(spark, sf)
+    return docs.select(
+        "doc_id",
+        lang_id_col(normalize_text_col("text", CFG)).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_embeddings(spark, sf).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") < 1000)
+    scored = brute_force_topk(corpus, queries_df, k=5)
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    emb = (
+        load_embeddings(spark, sf)
+        .filter(F.col("vec_id") < 1000)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    scaled = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(scaled)
+    dim = len(emb.select("embedding").first()[0])
+    pairs = embedding_near_dup_pairs(both, threshold=0.99, dim=dim)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
+    ).orderBy("id_a", "id_b")
+
+
+def _q_events_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # window-function coverage: top-3 events by value per user
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            (F.round(F.col("value") * 1e6)).cast("long").alias("value_e6"),
+            "rnk",
+        )
+        .orderBy("user_id", "rnk")
+    )
+
+
+def _q_media_dupes(spark: SparkSession, sf: str) -> DataFrame:
+    # multimodal plumbing: synthetic media -> stub features -> exact phash dupes
+    from cargo_dupes_spark.operators.multimodal import (
+        exact_media_dupes,
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=96)
+    feats = extract_features(media, strict=False)
+    return exact_media_dupes(feats).select("media_id", "media_type").orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "normalize_docs": _q_normalize,
+        "min_tokens_filter": _q_min_tokens,
+        "lang_partition": _q_lang_partition,
+        "exact_dup_groups": dedup.exact_dup_groups,
+        "dedup_stats": _q_dedup_stats,
+        "ignore_anti": _q_ignore_anti,
+        "ordering_top_groups": _q_ordering,
+        "shingle_counts": _q_shingles,
+        "boilerplate_tag": _q_boilerplate,
+        "quality_scores": _q_quality,
+        "token_counts": _q_token_counts,
+        "lang_id": _q_lang_id,
+        "minhash_near_pairs": dedup.minhash_near_pairs,
+        "near_dup_clusters": dedup.near_dup_clusters,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "substring_containment_pairs": dedup.substring_containment_pairs,
+        "topk_cosine": _q_topk_cosine,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "events_topk": _q_events_topk,
+        "media_exact_dupes": _q_media_dupes,  # rows-only (stubbed codec)
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+def _shingle_expr(tok_expr: str, k: int) -> str:
+    return (
+        f"list_distinct([array_to_string({tok_expr}[i:i+{k - 1}], ' ') "
+        f"for i in range(1, greatest(len({tok_expr})-{k - 1}, 1)+1)])"
+    )
+
+
+_EXACT_UNION = f"""
+  select doc_id, text from documents
+  union all
+  select doc_id + {EXACT_COPY_OFFSET}, text from documents
+  where doc_id % {EXACT_COPY_MOD} = 0
+"""
+
+_NEAR_UNION = f"""
+  select doc_id, text, lang from documents where doc_id < 2000
+  union all
+  select doc_id + {NEAR_COPY_OFFSET}, text || '{NEAR_SUFFIX}', lang
+  from documents where doc_id % {NEAR_COPY_MOD} = 0 and doc_id < 2000
+"""
+
+_EXACT_GROUPS = f"""
+  with docs as ({_EXACT_UNION}),
+  norm as (select doc_id, {_NORM} as nt from docs)
+  select min(doc_id) as rep_id, count(*) as n_members
+  from norm group by nt having count(*) > 1
+"""
+
+_NEAR_EDGES = f"""
+  docs as ({_NEAR_UNION}),
+  norm as (select doc_id, lang, {_NORM} as nt from docs),
+  toks as (select doc_id, lang, string_split(nt, ' ') as tk from norm),
+  sh as (select doc_id, lang, {_shingle_expr('tk', _K)} as s from toks),
+  edges as (
+    select a.doc_id as id_a, b.doc_id as id_b,
+      round(len(list_intersect(a.s, b.s))::double
+            / len(list_distinct(list_concat(a.s, b.s))) * 1e6)::bigint as jaccard_e6
+    from sh a join sh b on a.doc_id < b.doc_id and a.lang = b.lang
+    where len(list_intersect(a.s, b.s))::double
+          / len(list_distinct(list_concat(a.s, b.s))) >= {CFG.jaccard_threshold}
+  )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    nt = _NORM
+    return {
+        "normalize_docs": f"""
+            select doc_id, {nt} as norm_text, {n_tokens_sql(nt)} as n_tokens
+            from documents order by doc_id
+        """,
+        "min_tokens_filter": f"""
+            select doc_id, n_tokens from (
+              select doc_id, {n_tokens_sql(nt)} as n_tokens from documents
+            ) where n_tokens >= 30 order by doc_id
+        """,
+        "lang_partition": f"""
+            select lang, count(*) as n_docs,
+                   sum({n_tokens_sql(nt)})::bigint as sum_tokens
+            from documents group by lang order by lang
+        """,
+        "exact_dup_groups": f"{_EXACT_GROUPS} order by rep_id",
+        "dedup_stats": f"""
+            with docs as ({_EXACT_UNION}),
+            norm as (select doc_id, {nt} as nt_ from docs),
+            sized as (
+              select count(*) as n, sum({n_tokens_sql('nt_')}) as tok
+              from norm group by nt_
+            )
+            select sum(n)::bigint as total_docs,
+                   sum(case when n > 1 then n else 0 end)::bigint as dup_docs,
+                   sum(case when n > 1 then 1 else 0 end)::bigint as dup_groups,
+                   round(sum(case when n > 1 then tok else 0 end) * 1e6
+                         / sum(tok))::bigint as dup_token_pct_e6_of_1e6
+            from sized
+        """,
+        "ignore_anti": f"""
+            with g as ({_EXACT_GROUPS})
+            select rep_id, n_members from g
+            where rep_id not in (select rep_id from g where rep_id % 3 = 0)
+            order by rep_id
+        """,
+        "ordering_top_groups": f"""
+            with g as ({_EXACT_GROUPS})
+            select rep_id, n_members from g
+            order by n_members desc, rep_id asc limit 20
+        """,
+        "shingle_counts": f"""
+            with norm as (select doc_id, {nt} as nt_ from documents),
+            toks as (select doc_id, string_split(nt_, ' ') as tk from norm)
+            select doc_id, len({_shingle_expr('tk', _K)}) as n_shingles
+            from toks order by doc_id
+        """,
+        "boilerplate_tag": f"""
+            with combined as (
+              select doc_id, text from documents
+              union all
+              select * from (values
+                (9000001, '404 Not Found - this page is missing'),
+                (9000002, 'This domain is parked free courtesy of registrar')
+              )
+            )
+            select doc_id, {is_boilerplate_sql(nt)} as is_boilerplate
+            from combined order by doc_id
+        """,
+        "quality_scores": f"""
+            select doc_id,
+                   round({quality_score_sql('text')} * 1e6)::bigint as quality_e6
+            from documents order by doc_id
+        """,
+        "token_counts": f"""
+            select doc_id,
+                   {whitespace_token_count_sql('text')}::bigint as ws_tokens,
+                   {token_count_sql('text')}::bigint as subword_tokens
+            from documents order by doc_id
+        """,
+        "lang_id": f"""
+            select doc_id, {lang_id_sql(nt)} as lang_guess
+            from documents order by doc_id
+        """,
+        "minhash_near_pairs": f"""
+            with {_NEAR_EDGES}
+            select id_a, id_b, jaccard_e6 from edges order by id_a, id_b
+        """,
+        "near_dup_clusters": f"""
+            with recursive {_NEAR_EDGES},
+            bidir as (select id_a a, id_b b from edges
+                      union select id_b, id_a from edges),
+            reach(src, dst) as (
+              select a, a from bidir
+              union
+              select r.src, e.b from reach r join bidir e on r.dst = e.a
+            )
+            select src as doc_id, min(dst) as cluster_min
+            from reach group by src order by doc_id
+        """,
+        "ngram_jaccard_pairs": f"""
+            with norm as (
+              select doc_id, lang, {nt} as nt_ from documents where doc_id < 60
+            ),
+            toks as (select doc_id, lang,
+                            list_distinct(string_split(nt_, ' ')) as tk from norm)
+            select * from (
+              select a.doc_id as id_a, b.doc_id as id_b,
+                     round(len(list_intersect(a.tk, b.tk))::double
+                           / len(list_distinct(list_concat(a.tk, b.tk))) * 1e6
+                     )::bigint as jaccard_e6
+              from toks a join toks b
+                on a.doc_id < b.doc_id and a.lang = b.lang
+            ) where jaccard_e6 >= 500000
+            order by id_a, id_b
+        """,
+        "substring_containment_pairs": f"""
+            with docs as (
+              select doc_id, text, lang from documents where doc_id < 1500
+              union all
+              select doc_id + {SPAN_COPY_OFFSET}, substring(text, 50, 300), lang
+              from documents
+              where doc_id % {SPAN_COPY_MOD} = 0 and doc_id < 1500
+                and length(text) >= 400
+            ),
+            norm as (select doc_id, lang, {nt} as nt_ from docs)
+            select least(a.doc_id, b.doc_id) as id_a,
+                   greatest(a.doc_id, b.doc_id) as id_b
+            from norm a join norm b
+              on a.doc_id < b.doc_id and a.lang = b.lang
+            where (contains(a.nt_, b.nt_) and length(b.nt_) >= {CFG.min_substring_len})
+               or (contains(b.nt_, a.nt_) and length(a.nt_) >= {CFG.min_substring_len})
+            order by id_a, id_b
+        """,
+        "topk_cosine": """
+            with q as (select vec_id, list_transform(embedding, x -> x::double) as embedding
+                       from embeddings where vec_id < 20),
+            c as (select vec_id, list_transform(embedding, x -> x::double) as embedding
+                  from embeddings where vec_id < 1000),
+            scored as (
+              select q.vec_id as query_id, c.vec_id as neighbor_id,
+                     round(list_cosine_similarity(q.embedding, c.embedding)
+                           * 1e6)::bigint as cosine_e6
+              from q join c on q.vec_id != c.vec_id
+            )
+            select query_id, neighbor_id, cosine_e6,
+                   row_number() over (partition by query_id
+                                      order by cosine_e6 desc, neighbor_id) as rank
+            from scored qualify rank <= 5 order by query_id, rank
+        """,
+        "embedding_near_dups": """
+            with base as (select vec_id, list_transform(embedding, x -> x::double)
+                            as embedding from embeddings where vec_id < 1000),
+            combined as (
+              select vec_id, embedding from base
+              union all
+              select vec_id + 1000000,
+                     list_transform(embedding, x -> x * 2.0) from base
+            )
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding)
+                         * 1e6)::bigint as cosine_e6
+            from combined a join combined b on a.vec_id < b.vec_id
+            where list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+            order by id_a, id_b
+        """,
+        "events_topk": """
+            select user_id, event_id,
+                   round(value * 1e6)::bigint as value_e6,
+                   row_number() over (partition by user_id
+                                      order by value desc, event_id) as rnk
+            from events qualify rnk <= 3 order by user_id, rnk
+        """,
+        # media_exact_dupes: stub-codec features are not SQL-expressible ->
+        # rows-only driver check (documented weaker gate)
+    }

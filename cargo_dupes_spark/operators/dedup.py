@@ -1,0 +1,218 @@
+"""Document-table dedup queries — the driver-checkable operator surface.
+
+The driver's `documents` tables contain no planted duplicates (TESTDATA.md),
+so each query here constructs a deterministic augmented input INSIDE the
+query (e.g. union the table with an exact copy of every 10th doc, or with a
+suffix-extended near-copy) — the same construction is mirrored in the DuckDB
+oracle SQL (`__spark_entry__.py`), making exact-tier grouping, LSH recall,
+connected components, and substring containment all checkable against ANSI
+SQL + recursive CTEs at sf0.01.
+
+Float-valued outputs are emitted as `*_e6 BIGINT` (value * 1e6, rounded) so
+the driver's value-hash comparison is immune to double formatting drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..functions.normalize import normalize_text_col, n_tokens_col
+from ..functions.shingles import jaccard_col, shingles_col
+from ..operators.connected_components import connected_components
+from ..operators.lsh import minhash_bands, pairs_from_buckets
+from ..operators.verify import verify_pairs
+from ..functions.minhash import minhash_udf
+from ..functions.simhash import simhash_udf
+
+CFG = PipelineConfig()  # shared shingle/signature config for the oracle
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic planted-duplicate unions (mirrored in oracle SQL)
+# ---------------------------------------------------------------------------
+EXACT_COPY_MOD = 10  # every 10th doc gets an exact copy
+EXACT_COPY_OFFSET = 1_000_000
+NEAR_COPY_MOD = 7  # every 7th doc gets a near copy (suffix-extended)
+NEAR_COPY_OFFSET = 2_000_000
+NEAR_SUFFIX = " extra trailing tokens appended here"
+SPAN_COPY_MOD = 11  # every 11th doc gets a substring copy (chars 50..350)
+SPAN_COPY_OFFSET = 3_000_000
+# slice caps keep the O(n²) brute-force SQL oracles tractable at sf0.01;
+# the Spark side applies the same caps so inputs are identical
+NEAR_SLICE = 2000
+SPAN_SLICE = 1500
+
+
+def with_exact_copies(docs: DataFrame) -> DataFrame:
+    copies = docs.filter(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+def with_near_copies(docs: DataFrame) -> DataFrame:
+    docs = docs.filter(F.col("doc_id") < NEAR_SLICE)
+    copies = docs.filter(F.col("doc_id") % NEAR_COPY_MOD == 0).select(
+        (F.col("doc_id") + NEAR_COPY_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+def with_span_copies(docs: DataFrame) -> DataFrame:
+    docs = docs.filter(F.col("doc_id") < SPAN_SLICE)
+    copies = (
+        docs.filter(
+            (F.col("doc_id") % SPAN_COPY_MOD == 0) & (F.length("text") >= 400)
+        )
+        .select(
+            (F.col("doc_id") + SPAN_COPY_OFFSET).alias("doc_id"),
+            F.substring("text", 50, 300).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    return docs.unionByName(copies)
+
+
+def normalized(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "lang",
+        normalize_text_col("text", CFG).alias("norm_text"),
+    ).withColumn("n_tokens", n_tokens_col("norm_text"))
+
+
+# ---------------------------------------------------------------------------
+# the queries
+# ---------------------------------------------------------------------------
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G1] exact tier over the exact-copy union: one row per duplicate
+    group keyed by its smallest doc_id."""
+    docs = normalized(with_exact_copies(load_documents(spark, sf_dir)))
+    return (
+        docs.groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("rep_id", "n_members")
+        .orderBy("rep_id")
+    )
+
+
+def minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F5/F7/J3/J4] the full MinHash→LSH→verify path over the near-copy
+    union. The ORACLE is brute-force SQL Jaccard over token-shingle sets —
+    LSH recall at J≈0.9 with 32×4 bands is 1-3e-9, so the outputs match
+    exactly; this is the recall contract made into a checkable query."""
+    docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
+    sigs = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "lang",
+        shingles_col("norm_text", CFG.shingle_k, CFG.shingle_seed).alias("shingles"),
+    ).withColumn("minhash", minhash_udf(CFG.num_perm, CFG.minhash_seed)(F.col("shingles")))
+    sigs = sigs.withColumn("simhash", simhash_udf()(F.col("shingles")))
+    pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near")
+    edges = verify_pairs(pairs, sigs, CFG)
+    return edges.select(
+        F.least(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_a"),
+        F.greatest(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_b"),
+        (F.round(F.col("similarity") * 1e6)).cast("long").alias("jaccard_e6"),
+    ).orderBy("id_a", "id_b")
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J6] connected components over the verified near-dup edges; cluster
+    id = min doc_id of the component (oracle: recursive-CTE reachability)."""
+    docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
+    sigs = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "lang",
+        shingles_col("norm_text", CFG.shingle_k, CFG.shingle_seed).alias("shingles"),
+    ).withColumn("minhash", minhash_udf(CFG.num_perm, CFG.minhash_seed)(F.col("shingles")))
+    sigs = sigs.withColumn("simhash", simhash_udf()(F.col("shingles")))
+    pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near")
+    edges = verify_pairs(pairs, sigs, CFG)
+    clusters = connected_components(edges).select(
+        F.col("url").cast("long").alias("doc_id"), "cluster_id"
+    )
+    # relabel components by min doc_id (the CC label is a deterministic
+    # center url, which for numeric ids is NOT the numeric min)
+    mins = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("cluster_min")
+    )
+    return (
+        clusters.join(mins, "cluster_id")
+        .select("doc_id", "cluster_min")
+        .orderBy("doc_id")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4 standalone] brute-force token-set Jaccard over a small slice —
+    the n-gram Jaccard dedup detector in its exact form (no LSH)."""
+    docs = normalized(load_documents(spark, sf_dir)).filter(
+        F.col("doc_id") < 60
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split("norm_text", " ")).alias("toks"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (F.col("a.lang") == F.col("b.lang")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (F.round(inter.cast("double") / union.cast("double") * 1e6)).cast("long").alias("jaccard_e6"),
+        )
+        .filter(F.col("jaccard_e6") >= 500_000)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def substring_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X1-X3] substring tier over the span-copy union. Oracle is the SQL
+    containment predicate — valid because every planted pair is a full
+    containment and unrelated docs share no >=L-char run (random text)."""
+    from ..operators.substring import substring_candidates, verify_substring_pairs
+
+    docs = normalized(with_span_copies(load_documents(spark, sf_dir)))
+    fps = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "lang", "norm_text"
+    )
+    pairs, _ = substring_candidates(fps, CFG)
+    edges = verify_substring_pairs(pairs, fps, CFG)
+    # full containment only (similarity == 1.0) to match the SQL predicate
+    return (
+        edges.filter(F.col("similarity") >= 0.999999)
+        .select(
+            F.least(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_a"),
+            F.greatest(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
