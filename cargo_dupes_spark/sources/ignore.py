@@ -26,8 +26,13 @@ def load_ignore(catalog: Catalog) -> DataFrame:
 
 
 def save_ignore(catalog: Catalog, df: DataFrame) -> None:
-    # tiny table: coalesce(1) keeps it a single file like the TOML original
-    catalog.write(df.coalesce(1), TABLE)
+    # tiny table (the TOML-file analog): materialize on the driver before
+    # overwriting — a lazy plan still reading the old files would race the
+    # overwrite (Spark reads lazily; the write deletes the input)
+    rows = df.collect()
+    catalog.write(
+        catalog.spark.createDataFrame(rows, IGNORE).coalesce(1), TABLE
+    )
 
 
 def add_ignore(

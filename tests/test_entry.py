@@ -1,0 +1,57 @@
+"""Driver-contract smoke: entry() + every query vs its DuckDB oracle at
+sf0.001 (the cheap mirror of the driver's sf0.01 gate)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"id_a", "id_b", "jaccard_e6"}
+
+
+def test_oracle_keys_subset():
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q
+    # every non-oracle query is documented as rows-only
+    assert q - o == {"media_exact_dupes"}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entry_mod.queries()[name](spark, SF).toPandas()
+    ddf = duck.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    a, b = _canon(sdf), _canon(ddf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    pd.testing.assert_frame_equal(
+        a.astype(str), b.astype(str), check_dtype=False
+    )
