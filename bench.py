@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Modes
+-----
+default            Run the headline queries at $SPARK_GRAFT_SF_DIR (default
+                   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and
+                   print ONE JSON line:
+                     {"metric": ..., "value": total_sec, "unit": "sec",
+                      "queries": {name: sec, ...}, "sf": ...}
+--pipeline-once    Run the full dedup pipeline (normalize -> fingerprint ->
+                   exact tier -> MinHash/LSH -> verify -> CC -> stats, all
+                   stages checkpointed) over a deterministically replicated
+                   corpus at a given --cpus level; print a JSON line with
+                   docs/sec. Used as the unit of work for scaling runs.
+--scaling          Spawn --pipeline-once at local[N] and local[4N] (fresh
+                   JVMs, same input) and report throughput at both plus
+                   scaling efficiency = (thr_4N / thr_N) / 4 — the sandbox
+                   proxy for the north_rule's N-vs-4N-executor criterion
+                   (no real cluster available here).
+
+The replicated corpus (--mult M) is deterministic: replica 0 keeps the
+original text; replicas of every 10th doc are byte-exact copies (exact-tier
+work); all other replicas append a one-token suffix (near-tier work, Jaccard
+~0.94 between variants), so every stage of the pipeline does real work that
+grows linearly with M.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DEFAULT_MULT = int(os.environ.get("BENCH_MULT", "8"))
+
+REPLICA_OFFSET = 10_000_000
+EXACT_REPLICA_MOD = 10
+
+
+def _noop_write(df) -> None:
+    """Force full execution without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def replicated_web_pages(spark, sf_dir: str, mult: int):
+    """documents.parquet -> web_pages-shaped input, replicated x mult."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if mult <= 1:
+        return docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            "text",
+            "lang",
+        )
+    reps = spark.range(mult).select(F.col("id").alias("replica"))
+    exact_copy = (F.col("doc_id") % EXACT_REPLICA_MOD == 0) | (
+        F.col("replica") == 0
+    )
+    return docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("replica") * REPLICA_OFFSET)
+        .cast("string")
+        .alias("url"),
+        F.when(exact_copy, F.col("text"))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" zz"), F.col("replica").cast("string"))
+        )
+        .alias("text"),
+        "lang",
+    )
+
+
+def run_pipeline_once(sf_dir: str, cpus: int, mult: int) -> dict:
+    from cargo_dupes_spark.config import PipelineConfig
+    from cargo_dupes_spark.plans.pipeline import Pipeline
+    from cargo_dupes_spark.session import build_session
+
+    warehouse = tempfile.mkdtemp(prefix=f"bench_wh_{cpus}_")
+    spark = build_session(
+        app_name=f"bench-pipeline-{cpus}", parallelism=cpus,
+        shuffle_partitions=max(cpus, 8),
+    )
+    try:
+        cfg = PipelineConfig(
+            warehouse=warehouse,
+            checkpoint_dir=os.path.join(warehouse, "ckpt"),
+        )
+        web_pages = replicated_web_pages(spark, sf_dir, mult)
+        n_docs = web_pages.count()  # warm-up action; input size
+        t0 = time.monotonic()
+        outputs = Pipeline(
+            spark, cfg, detectors=("minhash",)
+        ).run(web_pages)
+        n_members = outputs["memberships"].count()
+        outputs["stats"].collect()
+        wall = time.monotonic() - t0
+        return {
+            "cpus": cpus,
+            "mult": mult,
+            "docs": n_docs,
+            "memberships": n_members,
+            "wall_s": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def run_scaling(sf_dir: str, base_cpus: int, mult: int) -> dict:
+    """Same job, same input, local[N] vs local[4N] in fresh JVMs."""
+    results = {}
+    for cpus in (base_cpus, base_cpus * 4):
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--pipeline-once", "--cpus", str(cpus),
+                "--mult", str(mult), "--sf-dir", sf_dir,
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"pipeline-once at cpus={cpus} failed:\n{proc.stderr[-4000:]}"
+            )
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_n = results[base_cpus]["docs_per_sec"]
+    thr_4n = results[base_cpus * 4]["docs_per_sec"]
+    return {
+        "metric": "scaling_efficiency_Nx4",
+        "value": round((thr_4n / thr_n) / 4.0, 4),
+        "unit": "fraction",
+        "n_cpus": base_cpus,
+        "throughput_n": thr_n,
+        "throughput_4n": thr_4n,
+        "runs": results,
+        "sf": sf_dir,
+    }
+
+
+# ---------------------------------------------------------------------------
+# headline suite (driver default mode)
+# ---------------------------------------------------------------------------
+HEADLINE = (
+    "exact_dup_groups",
+    "minhash_near_pairs",
+    "near_dup_clusters",
+    "substring_containment_pairs",
+    "dedup_stats",
+    "quality_scores",
+    "lang_id",
+    "token_counts",
+    "topk_cosine",
+    "events_topk",
+)
+
+
+def run_headline(sf_dir: str, cpus: int, mult: int) -> dict:
+    import __spark_entry__ as entry_mod
+    from cargo_dupes_spark.session import build_session
+
+    spark = build_session(
+        app_name="bench-headline", parallelism=cpus,
+        shuffle_partitions=max(cpus, 8),
+    )
+    try:
+        qs = entry_mod.queries()
+        # warm-up: JVM + Arrow path, excluded from timings
+        _noop_write(qs["normalize_docs"](spark, sf_dir))
+
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            _noop_write(qs[name](spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        # the headline throughput number: full pipeline over the replicated
+        # corpus in THIS session (same JVM; scaling mode uses fresh JVMs)
+        pipe = _pipeline_in_session(spark, sf_dir, mult)
+        timings["full_pipeline"] = pipe["wall_s"]
+
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "dedup_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "cpus": cpus,
+            "pipeline_docs": pipe["docs"],
+            "pipeline_docs_per_sec": pipe["docs_per_sec"],
+        }
+    finally:
+        spark.stop()
+
+
+def _pipeline_in_session(spark, sf_dir: str, mult: int) -> dict:
+    from cargo_dupes_spark.config import PipelineConfig
+    from cargo_dupes_spark.plans.pipeline import Pipeline
+
+    warehouse = tempfile.mkdtemp(prefix="bench_wh_inline_")
+    try:
+        cfg = PipelineConfig(
+            warehouse=warehouse,
+            checkpoint_dir=os.path.join(warehouse, "ckpt"),
+        )
+        web_pages = replicated_web_pages(spark, sf_dir, mult)
+        n_docs = web_pages.count()
+        t0 = time.monotonic()
+        outputs = Pipeline(spark, cfg, detectors=("minhash",)).run(web_pages)
+        outputs["memberships"].count()
+        outputs["stats"].collect()
+        wall = time.monotonic() - t0
+        return {
+            "docs": n_docs,
+            "wall_s": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1),
+        }
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    p.add_argument("--mult", type=int, default=DEFAULT_MULT)
+    p.add_argument("--pipeline-once", action="store_true")
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--scaling-base-cpus", type=int, default=8)
+    args = p.parse_args()
+
+    if args.pipeline_once:
+        out = run_pipeline_once(args.sf_dir, args.cpus, args.mult)
+    elif args.scaling:
+        out = run_scaling(args.sf_dir, args.scaling_base_cpus, args.mult)
+    else:
+        out = run_headline(args.sf_dir, args.cpus, args.mult)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
