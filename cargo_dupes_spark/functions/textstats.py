@@ -33,28 +33,23 @@ def _hits_col(tokens: Column, lang: str) -> Column:
 
 
 def lang_id_col(norm_col: Column | str) -> Column:
-    """Best-guess language code from distinct stopword hits."""
+    """Best-guess language code from distinct stopword hits.
+
+    Max hits wins; ties break to the lexicographically smallest language
+    code (the chained ``when`` walks languages in sorted order, so the first
+    language reaching the max is the smallest); zero hits -> 'und'. Plain
+    integer columns + greatest + when keep the whole expression inside
+    whole-stage codegen (no higher-order array_sort comparator).
+    """
     c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
     tokens = F.array_distinct(F.split(c, " "))
-    pairs = [
-        F.struct(
-            _hits_col(tokens, lang).alias("hits"), F.lit(lang).alias("lang")
-        )
-        for lang in sorted(LANG_STOPWORDS)
-    ]
-    # array_max on structs: max hits, then (by struct ordering) max lang —
-    # to get the DETERMINISTIC lexicographically-smallest tie-break we
-    # negate via sorting on (-hits): use array_sort and take element 0
-    arr = F.array(*pairs)
-    best = F.array_sort(
-        arr,
-        lambda a, b: F.when(a["hits"] > b["hits"], F.lit(-1))
-        .when(a["hits"] < b["hits"], F.lit(1))
-        .otherwise(
-            F.when(a["lang"] < b["lang"], F.lit(-1)).otherwise(F.lit(1))
-        ),
-    )[0]
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    langs = sorted(LANG_STOPWORDS)
+    hits = {lang: _hits_col(tokens, lang) for lang in langs}
+    best = F.greatest(*hits.values()) if len(langs) > 1 else hits[langs[0]]
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when(hits[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
 
 
 def lang_id_sql(norm_expr: str) -> str:
