@@ -26,9 +26,17 @@ def build_session(
         # 2-3x total executor cores and let AQE coalesce.
         shuffle_partitions = max(parallelism, 8)
 
+    builder = SparkSession.builder
+    # under spark-submit the master (and executor topology) comes from the
+    # submit command line — only force local[N] when none was provided, so
+    # the same code path serves `spark-submit --master yarn --py-files ...`
+    # (north_rule packaging) and in-process local runs
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master") and "MASTER" not in os.environ:
+        builder = builder.master(f"local[{parallelism}]")
     builder = (
-        SparkSession.builder.master(f"local[{parallelism}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,20 @@
+#!/bin/sh
+# Build dist/pipeline.zip for spark-submit --py-files (north_rule packaging).
+# Pure-Python package: the zip holds cargo_dupes_spark/ at its root so
+# executors and the driver import it directly from the shipped archive.
+set -eu
+cd "$(dirname "$0")/.."
+mkdir -p dist
+rm -f dist/pipeline.zip
+python - <<'EOF'
+import zipfile
+from pathlib import Path
+
+root = Path("cargo_dupes_spark")
+with zipfile.ZipFile("dist/pipeline.zip", "w", zipfile.ZIP_DEFLATED) as z:
+    for p in sorted(root.rglob("*.py")):
+        if "__pycache__" in p.parts:
+            continue
+        z.write(p, p.as_posix())
+print("wrote dist/pipeline.zip")
+EOF
