@@ -81,7 +81,9 @@ def replicated_web_pages(spark, sf_dir: str, mult: int):
     )
 
 
-def run_pipeline_once(sf_dir: str, cpus: int, mult: int) -> dict:
+def run_pipeline_once(
+    sf_dir: str, cpus: int, mult: int, docs: int | None = None
+) -> dict:
     from cargo_dupes_spark.config import PipelineConfig
     from cargo_dupes_spark.plans.pipeline import Pipeline
     from cargo_dupes_spark.session import build_session
@@ -96,18 +98,36 @@ def run_pipeline_once(sf_dir: str, cpus: int, mult: int) -> dict:
             warehouse=warehouse,
             checkpoint_dir=os.path.join(warehouse, "ckpt"),
         )
-        web_pages = replicated_web_pages(spark, sf_dir, mult)
+        if docs:
+            from cargo_dupes_spark.sources.web_pages import (
+                synthetic_web_pages_at_scale,
+            )
+
+            # partition count fixed independently of cpus so both scaling
+            # levels process the identical input split
+            web_pages = synthetic_web_pages_at_scale(
+                spark, docs, num_partitions=64
+            )
+        else:
+            web_pages = replicated_web_pages(spark, sf_dir, mult)
         n_docs = web_pages.count()  # warm-up action; input size
         t0 = time.monotonic()
-        outputs = Pipeline(
-            spark, cfg, detectors=("minhash",)
-        ).run(web_pages)
+        pipe = Pipeline(spark, cfg, detectors=("minhash",))
+        outputs = pipe.run(web_pages)
         n_members = outputs["memberships"].count()
         outputs["stats"].collect()
         wall = time.monotonic() - t0
+        stage_walls = {
+            r["stage"]: round(r["value"], 2)
+            for r in pipe.catalog.read_metrics()
+            .filter("metric = 'wall_seconds'")
+            .collect()
+        }
         return {
+            "stage_walls": stage_walls,
             "cpus": cpus,
-            "mult": mult,
+            "mult": mult if not docs else None,
+            "synthetic_docs": docs,
             "docs": n_docs,
             "memberships": n_members,
             "wall_s": round(wall, 3),
@@ -118,25 +138,35 @@ def run_pipeline_once(sf_dir: str, cpus: int, mult: int) -> dict:
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
-def run_scaling(sf_dir: str, base_cpus: int, mult: int) -> dict:
-    """Same job, same input, local[N] vs local[4N] in fresh JVMs."""
-    results = {}
+def run_scaling(
+    sf_dir: str, base_cpus: int, mult: int, docs: int | None, repeats: int = 2
+) -> dict:
+    """Same job, same input, local[N] vs local[4N] in fresh JVMs.
+
+    Each level runs `repeats` times and the best (minimum-wall) run is used,
+    per the BASELINE.md protocol (warm-up effects excluded).
+    """
+    results: dict[int, list[dict]] = {}
     for cpus in (base_cpus, base_cpus * 4):
-        proc = subprocess.run(
-            [
+        runs = []
+        for _ in range(repeats):
+            cmd = [
                 sys.executable, os.path.abspath(__file__),
                 "--pipeline-once", "--cpus", str(cpus),
                 "--mult", str(mult), "--sf-dir", sf_dir,
-            ],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"pipeline-once at cpus={cpus} failed:\n{proc.stderr[-4000:]}"
-            )
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-    thr_n = results[base_cpus]["docs_per_sec"]
-    thr_4n = results[base_cpus * 4]["docs_per_sec"]
+            ]
+            if docs:
+                cmd += ["--docs", str(docs)]
+            proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"pipeline-once at cpus={cpus} failed:\n{proc.stderr[-4000:]}"
+                )
+            runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        results[cpus] = runs
+    best = {c: min(rs, key=lambda r: r["wall_s"]) for c, rs in results.items()}
+    thr_n = best[base_cpus]["docs_per_sec"]
+    thr_4n = best[base_cpus * 4]["docs_per_sec"]
     return {
         "metric": "scaling_efficiency_Nx4",
         "value": round((thr_4n / thr_n) / 4.0, 4),
@@ -144,8 +174,8 @@ def run_scaling(sf_dir: str, base_cpus: int, mult: int) -> dict:
         "n_cpus": base_cpus,
         "throughput_n": thr_n,
         "throughput_4n": thr_4n,
-        "runs": results,
-        "sf": sf_dir,
+        "runs": {str(c): rs for c, rs in results.items()},
+        "sf": sf_dir if not docs else f"synthetic:{docs}",
     }
 
 
@@ -239,12 +269,21 @@ def main() -> int:
     p.add_argument("--pipeline-once", action="store_true")
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--scaling-base-cpus", type=int, default=8)
+    p.add_argument("--repeats", type=int, default=2)
+    p.add_argument(
+        "--docs", type=int, default=None,
+        help="use the deterministic synthetic corpus at this many base docs "
+             "(linear dup structure) instead of replicating the sf dir",
+    )
     args = p.parse_args()
 
     if args.pipeline_once:
-        out = run_pipeline_once(args.sf_dir, args.cpus, args.mult)
+        out = run_pipeline_once(args.sf_dir, args.cpus, args.mult, args.docs)
     elif args.scaling:
-        out = run_scaling(args.sf_dir, args.scaling_base_cpus, args.mult)
+        out = run_scaling(
+            args.sf_dir, args.scaling_base_cpus, args.mult, args.docs,
+            args.repeats,
+        )
     else:
         out = run_headline(args.sf_dir, args.cpus, args.mult)
     print(json.dumps(out))

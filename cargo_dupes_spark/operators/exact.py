@@ -32,13 +32,18 @@ from ..functions.normalize import (
 )
 
 
-def prepare(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """web_pages -> fingerprints table (the CodeUnit-row analog).
+def prepare_columns(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """web_pages -> fingerprint columns, UNGATED (tag-don't-drop).
 
     Filters (url excludes, lang selection) are plain pushed-down predicates;
-    the min-token gate runs before any shuffle (the reference gates at parse
-    time for the same reason). Boilerplate is TAGGED here and filtered by
-    config, mirroring tag-then-filter of test code.
+    boilerplate is TAGGED here, mirroring the reference's tag-then-filter of
+    test code. The min-token / boilerplate gates live in ``apply_gates`` —
+    applied by callers AFTER this projection materializes (e.g. on the
+    checkpointed parquet read). Filtering directly on these derived columns
+    in the same plan makes Catalyst push the predicate below the projection,
+    INLINING the whole normalize chain once per conjunct (~8 evaluations of
+    a 5-pass regex chain per row); over a materialized table the same gates
+    are trivial column comparisons pushed into the scan.
     """
     df = web_pages
     for pat in cfg.url_exclude:  # S2: substring excludes, OR-folded
@@ -46,13 +51,21 @@ def prepare(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     if cfg.langs:
         df = df.filter(F.col("lang").isin(list(cfg.langs)))
 
-    needs_extract = "html" in df.columns
-    text_col = extracted_text_col("html", "text") if needs_extract else F.col("text")
-    df = df.select(
-        "url",
-        "lang",
-        text_col.alias("extracted_text"),
-    )
+    # html rows pay the Python/Arrow extraction round-trip; rows that arrive
+    # pre-extracted (html NULL) bypass the UDF entirely — splitting the scan
+    # keeps the 100 TB common case (pre-extracted text) fully JVM-side
+    if "html" in df.columns:
+        with_html = df.filter(F.col("html").isNotNull()).select(
+            "url",
+            "lang",
+            extracted_text_col("html", "text").alias("extracted_text"),
+        )
+        pre_extracted = df.filter(F.col("html").isNull()).select(
+            "url", "lang", F.col("text").alias("extracted_text")
+        )
+        df = with_html.unionByName(pre_extracted)
+    else:
+        df = df.select("url", "lang", F.col("text").alias("extracted_text"))
     df = df.select(
         "url",
         "lang",
@@ -68,10 +81,23 @@ def prepare(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "n_chars",
         is_boilerplate_col("norm_text").alias("is_boilerplate"),
     )
-    df = df.filter(F.col("n_tokens") >= cfg.min_tokens)  # P3
-    if cfg.exclude_boilerplate:  # P4 filter toggle
+    return df
+
+
+def apply_gates(fingerprints: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """P3 min-size gate + P4 boilerplate-filter toggle (filter at
+    lib.rs:60-62). Call on materialized fingerprint columns."""
+    df = fingerprints.filter(F.col("n_tokens") >= cfg.min_tokens)
+    if cfg.exclude_boilerplate:
         df = df.filter(~F.col("is_boilerplate"))
     return df
+
+
+def prepare(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """prepare_columns + gates in one plan — for small/direct use; the
+    Pipeline checkpoints prepare_columns first and gates the read instead
+    (see prepare_columns docstring for why)."""
+    return apply_gates(prepare_columns(web_pages, cfg), cfg)
 
 
 def exact_memberships(fingerprints: DataFrame) -> DataFrame:

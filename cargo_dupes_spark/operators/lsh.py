@@ -78,8 +78,13 @@ def pairs_from_buckets(
     Returns (pairs, dropped_buckets). dropped_buckets has
     (band_id, band_key, bucket_size) for the lineage/metrics sink.
     """
-    sizes = bucketed.groupBy("band_id", "band_key").agg(
-        F.count(F.lit(1)).alias("bucket_size")
+    # persist: sizes feeds both the pairing filter and the dropped-bucket
+    # accounting action — without it the band-key shuffle runs twice. One
+    # row per bucket (≪ bucketed rows), MEMORY_AND_DISK so it spills.
+    sizes = (
+        bucketed.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .persist()
     )
     ok = sizes.filter(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.max_bucket_size)

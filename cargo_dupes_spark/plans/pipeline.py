@@ -26,7 +26,12 @@ from ..functions.minhash import minhash_udf
 from ..functions.shingles import shingles_col
 from ..functions.simhash import simhash_udf
 from ..operators.connected_components import connected_components
-from ..operators.exact import exact_memberships, exact_representatives, prepare
+from ..operators.exact import (
+    apply_gates,
+    exact_memberships,
+    exact_representatives,
+    prepare_columns,
+)
 from ..operators.groups import cluster_memberships, filter_ignored
 from ..operators.lsh import minhash_bands, pairs_from_buckets, simhash_buckets
 from ..operators.stats import compute_stats
@@ -69,11 +74,11 @@ class Pipeline:
         t0 = time.monotonic()
         df = build()
         out = self.catalog.checkpoint(df, name)
-        self.catalog.record_lineage(out, name)
+        n_rows = self.catalog.record_lineage(out, name)
         self.catalog.record_metrics(
             name,
             {
-                "rows": out.count(),
+                "rows": n_rows,
                 "wall_seconds": time.monotonic() - t0,
             },
         )
@@ -84,8 +89,12 @@ class Pipeline:
     def run(self, web_pages: DataFrame) -> dict[str, DataFrame]:
         cfg = self.cfg
 
-        fingerprints = self._stage(
-            "fingerprints", lambda: prepare(web_pages, cfg)
+        # checkpoint UNGATED columns, gate the materialized read: the gates
+        # become parquet-scan predicates instead of forcing the normalize
+        # chain to be re-evaluated per filter conjunct (see prepare_columns)
+        fingerprints = apply_gates(
+            self._stage("fingerprints", lambda: prepare_columns(web_pages, cfg)),
+            cfg,
         )
 
         exact = self._stage(

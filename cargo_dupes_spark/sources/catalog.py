@@ -105,34 +105,35 @@ class Catalog:
         self._meta_path(name).unlink(missing_ok=True)
 
     # ---- lineage & metrics (append-only sinks) -----------------------------
-    def record_lineage(self, df: DataFrame, stage: str) -> None:
+    def record_lineage(self, df: DataFrame, stage: str) -> int:
         """Per-partition row accounting for a stage output (O6 analog: the
         reference's warning channel, lib.rs:50-66, generalized to
-        per-partition counts so silently-empty partitions are visible)."""
-        rows = (
+        per-partition counts so silently-empty partitions are visible).
+
+        One Spark job (the per-partition count aggregate); the resulting
+        handful of rows — bounded by shuffle partitions, not data — is
+        appended driver-side, and the summed n_out is returned so callers
+        don't need a second count() job over the stage output.
+        """
+        counts = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("n_out"))
-            .select(
-                F.lit(self.run_id).alias("run_id"),
-                F.lit(stage).alias("stage"),
-                F.col("partition_id").cast("int"),
-                F.lit(None).cast("long").alias("n_in"),
-                F.col("n_out").cast("long"),
-                F.lit(0).cast("long").alias("n_failed"),
-                F.lit(None).cast("string").alias("error_sample"),
-            )
+            .collect()
         )
-        self._append(rows, "lineage", LINEAGE)
+        rows = [
+            (self.run_id, stage, int(r["partition_id"]), None,
+             int(r["n_out"]), 0, None)
+            for r in counts
+        ]
+        self._append_local(rows, "lineage", LINEAGE)
+        return sum(r["n_out"] for r in counts)
 
     def record_metrics(self, stage: str, metrics: dict[str, float]) -> None:
-        rows = self.spark.createDataFrame(
-            [
-                (self.run_id, stage, self.config_hash, k, float(v))
-                for k, v in metrics.items()
-            ],
-            METRICS,
-        )
-        self._append(rows, "metrics", METRICS)
+        rows = [
+            (self.run_id, stage, self.config_hash, k, float(v))
+            for k, v in metrics.items()
+        ]
+        self._append_local(rows, "metrics", METRICS)
 
     def read_metrics(self) -> DataFrame:
         if not self._path("metrics").exists():
@@ -142,6 +143,43 @@ class Catalog:
     def _append(self, df: DataFrame, name: str, schema) -> None:
         path = str(self._path(name))
         df.write.mode("append").parquet(path)
+        self._write_meta_if_missing(name)
+
+    def _append_local(self, rows: list[tuple], name: str, schema) -> None:
+        """Append a handful of rows as one parquet part-file without a Spark
+        job. Lineage/metrics rows are per-stage aggregates (bounded by
+        partition count, not data size), so writing them driver-side avoids
+        two serial Spark jobs per stage — the dominant fixed cost that capped
+        strong-scaling efficiency on short stages. spark.read.parquet reads
+        the directory identically either way."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _ARROW = {
+            "string": pa.string(),
+            "integer": pa.int32(),
+            "long": pa.int64(),
+            "double": pa.float64(),
+        }
+        fields = [
+            pa.field(f.name, _ARROW[f.dataType.typeName()], nullable=f.nullable)
+            for f in schema.fields
+        ]
+        arrow_schema = pa.schema(fields)
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, fields)],
+            schema=arrow_schema,
+        )
+        path = self._path(name)
+        path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            table, path / f"local-{uuid.uuid4().hex}.snappy.parquet",
+            compression="snappy",
+        )
+        self._write_meta_if_missing(name)
+
+    def _write_meta_if_missing(self, name: str) -> None:
         if not self._meta_path(name).exists():
             self._meta_path(name).write_text(
                 json.dumps({"config_hash": self.config_hash, "run_id": self.run_id,
