@@ -104,9 +104,11 @@ def run_pipeline_once(
             )
 
             # partition count fixed independently of cpus so both scaling
-            # levels process the identical input split
+            # levels process the identical input split; ~200-token docs
+            # (~1.4 KB) approximate Common-Crawl extracted-text sizes
             web_pages = synthetic_web_pages_at_scale(
-                spark, docs, num_partitions=64
+                spark, docs, num_partitions=64,
+                min_doc_tokens=140, token_spread=120,
             )
         else:
             web_pages = replicated_web_pages(spark, sf_dir, mult)

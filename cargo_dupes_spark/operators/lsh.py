@@ -73,28 +73,61 @@ def pairs_from_buckets(
     bucketed: DataFrame, cfg: PipelineConfig, tier: str
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket rows -> deduped candidate pairs (url_a < url_b) + an
-    accounting DataFrame of buckets that exceeded max_bucket_size.
+    accounting DataFrame of buckets that were salted or dropped.
 
-    Returns (pairs, dropped_buckets). dropped_buckets has
-    (band_id, band_key, bucket_size) for the lineage/metrics sink.
+    Skew policy (north_rule "salted repartitioning handles hot-host URL
+    skew"; SURVEY §7.4 risk 4 — never silent):
+      * size <= max_bucket_size                    — pair normally
+      * max < size <= max*salt_buckets             — SALT: split members
+        into salt_buckets sub-buckets by url hash and pair within each
+        sub-bucket. Bounds the join fan-out at (size/salt)² per sub-bucket.
+        Cross-sub-bucket pairs in this band are lost, but hot docs share
+        many OTHER bands (a true near-dup pair collides in any of b bands),
+        so the recall hit concentrates on boilerplate mega-groups.
+      * size > max*salt_buckets                    — drop + account
+        (returned for the lineage/metrics sink).
+
+    Returns (pairs, flagged) where flagged has
+    (band_id, band_key, bucket_size, action in {'salted','dropped'}).
     """
-    # persist: sizes feeds both the pairing filter and the dropped-bucket
-    # accounting action — without it the band-key shuffle runs twice. One
-    # row per bucket (≪ bucketed rows), MEMORY_AND_DISK so it spills.
+    cap = cfg.max_bucket_size
+    salt = cfg.salt_buckets
+    # persist: sizes feeds the pairing filter, the salting filter, and the
+    # accounting action — without it the band-key shuffle reruns per use.
+    # One row per bucket (≪ bucketed rows).
     sizes = (
         bucketed.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
         .persist()
     )
-    ok = sizes.filter(
-        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.max_bucket_size)
+    ok = sizes.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= cap))
+    salted = sizes.filter(
+        (F.col("bucket_size") > cap) & (F.col("bucket_size") <= cap * salt)
     )
-    dropped = sizes.filter(F.col("bucket_size") > cfg.max_bucket_size)
+    flagged = sizes.filter(F.col("bucket_size") > cap).select(
+        "band_id",
+        "band_key",
+        "bucket_size",
+        F.when(F.col("bucket_size") <= cap * salt, F.lit("salted"))
+        .otherwise(F.lit("dropped"))
+        .alias("action"),
+    )
 
-    # keep only rows in pair-able buckets, then self-join within bucket
-    eligible = bucketed.join(
+    elig_ok = bucketed.join(
         ok.select("band_id", "band_key"), ["band_id", "band_key"], "inner"
+    ).select("url", "band_id", "band_key")
+    elig_salted = bucketed.join(
+        salted.select("band_id", "band_key"), ["band_id", "band_key"], "inner"
+    ).select(
+        "url",
+        "band_id",
+        # sub-bucket key: fold a url-hash salt into the band key
+        F.xxhash64(
+            F.col("band_key"), F.pmod(F.xxhash64("url"), F.lit(salt))
+        ).alias("band_key"),
     )
+    eligible = elig_ok.unionByName(elig_salted)
+
     a = eligible.alias("a")
     b = eligible.alias("b")
     pairs = (
@@ -112,4 +145,4 @@ def pairs_from_buckets(
         .dropDuplicates(["url_a", "url_b"])
         .withColumn("tier", F.lit(tier))
     )
-    return pairs, dropped
+    return pairs, flagged

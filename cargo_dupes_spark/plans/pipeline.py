@@ -130,27 +130,30 @@ class Pipeline:
         signatures = self._stage("signatures", build_signatures)
 
         def build_candidates() -> DataFrame:
-            parts, dropped_total = [], 0
+            parts, flagged_parts = [], []
             if "minhash" in self.detectors:
-                pairs, dropped = pairs_from_buckets(
+                pairs, flagged = pairs_from_buckets(
                     minhash_bands(signatures, cfg), cfg, "near"
                 )
                 parts.append(pairs)
-                dropped_total += dropped.count()
+                flagged_parts.append(flagged)
             if "simhash" in self.detectors:
-                pairs, dropped = pairs_from_buckets(
+                pairs, flagged = pairs_from_buckets(
                     simhash_buckets(signatures, cfg), cfg, "simhash"
                 )
                 parts.append(pairs)
-                dropped_total += dropped.count()
+                flagged_parts.append(flagged)
             if "substring" in self.detectors:
-                pairs, dropped = substring_candidates(reps, cfg)
+                pairs, flagged = substring_candidates(reps, cfg)
                 parts.append(pairs)
-                dropped_total += dropped.count()
-            # never silently drop: mega-bucket count is a first-class metric
-            self.catalog.record_metrics(
-                "candidates", {"dropped_buckets": float(dropped_total)}
-            )
+                flagged_parts.append(flagged)
+            # never silent: salted and dropped mega-buckets are first-class
+            # metrics (SURVEY §7.4 risk 4)
+            counts = {"salted_buckets": 0.0, "dropped_buckets": 0.0}
+            for flagged in flagged_parts:
+                for row in flagged.groupBy("action").count().collect():
+                    counts[f"{row['action']}_buckets"] += float(row["count"])
+            self.catalog.record_metrics("candidates", counts)
             if not parts:
                 return self.spark.createDataFrame([], CANDIDATE_PAIRS)
             out = parts[0]

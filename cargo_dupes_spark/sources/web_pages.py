@@ -234,6 +234,8 @@ def synthetic_web_pages_at_scale(
     near_mod: int = 7,
     vocab_size: int = 30000,
     num_partitions: int | None = None,
+    min_doc_tokens: int = 55,
+    token_spread: int = 32,
 ) -> DataFrame:
     """Deterministic web_pages corpus at arbitrary scale, generated entirely
     JVM-side (spark.range + xxhash64 token synthesis — no driver data, no
@@ -250,18 +252,33 @@ def synthetic_web_pages_at_scale(
         if num_partitions
         else spark.range(n_docs)
     )
-    n_tok = (F.lit(55) + F.pmod(F.xxhash64(F.lit(seed), sid), F.lit(32))).cast(
-        "int"
-    )
-    words = F.transform(
-        F.sequence(F.lit(1), n_tok),
-        lambda j: F.concat(
-            F.lit("w"),
-            F.pmod(F.xxhash64(F.lit(seed + 1), sid, j), F.lit(vocab_size)).cast(
-                "string"
+    n_tok = (
+        F.lit(min_doc_tokens)
+        + F.pmod(F.xxhash64(F.lit(seed), sid), F.lit(token_spread))
+    ).cast("int")
+    # words must SURVIVE normalization (digits would be masked to <num>,
+    # collapsing every doc to the same norm_text): build 6-letter words from
+    # the hash via three 2-letter slices of a fixed alphabet => 26^3 = 17576
+    # distinct words, one xxhash64 + three substrings per token
+    alphabet = F.lit("abcdefghijklmnopqrstuvwxyza")
+
+    def _word(j):
+        h = F.pmod(F.xxhash64(F.lit(seed + 1), sid, j), F.lit(vocab_size))
+        return F.concat(
+            F.substring(alphabet, (F.pmod(h, F.lit(26)) + 1).cast("int"), 2),
+            F.substring(
+                alphabet,
+                (F.pmod((h / 26).cast("long"), F.lit(26)) + 1).cast("int"),
+                2,
             ),
-        ),
-    )
+            F.substring(
+                alphabet,
+                (F.pmod((h / 676).cast("long"), F.lit(26)) + 1).cast("int"),
+                2,
+            ),
+        )
+
+    words = F.transform(F.sequence(F.lit(1), n_tok), _word)
     lang = F.element_at(
         F.array(*[F.lit(lg) for lg in langs]),
         (F.pmod(sid, F.lit(len(langs))) + 1).cast("int"),
