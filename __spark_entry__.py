@@ -132,12 +132,13 @@ def _q_ordering(spark: SparkSession, sf: str) -> DataFrame:
 def _q_shingles(spark: SparkSession, sf: str) -> DataFrame:
     # F7 distinct k-token shingle counts
     n = normalized(load_documents(spark, sf))
-    from cargo_dupes_spark.functions.shingles import shingles_col
+    from cargo_dupes_spark.functions.shingles import with_shingles
 
-    return n.select(
-        "doc_id",
-        F.size(shingles_col("norm_text", _K, CFG.shingle_seed)).alias("n_shingles"),
-    ).orderBy("doc_id")
+    return (
+        with_shingles(n, "norm_text", _K, CFG.shingle_seed)
+        .select("doc_id", F.size("shingles").alias("n_shingles"))
+        .orderBy("doc_id")
+    )
 
 
 def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:

@@ -5,32 +5,64 @@ the near-dup similarity (Jaccard over shingles) is the analog of the Dice
 tree score (``dupes-core/src/similarity.rs:13-21``). k and the hash seed are
 the "shared shingle/signature config" that recall is measured at
 (BASELINE.json north_rule).
+
+PERFORMANCE CONTRACT: the token array MUST be materialized as its own
+projection (a bound attribute) before the windowing transform runs.
+Referencing a `split(...)` *expression* inside the `transform` lambda makes
+the codegen re-evaluate the split once per window element — O(tokens²) per
+document (measured 29x slower on ~190-token docs). `with_shingles` is the
+safe entry point; `shingles_from_tokens` documents the requirement.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles_col(norm_col: Column | str, k: int, seed: int = 42) -> Column:
-    """Distinct 64-bit hashes of all k-token shingles of norm_text.
-
-    Built entirely from expression lambdas: split → sliding windows via
-    transform(sequence) → xxhash64 per window. Documents shorter than k
-    tokens hash their full text as a single shingle (so tiny docs still
-    participate, mirroring the reference's "whole unit is the fingerprint"
-    for small trees).
-    """
+def tokens_col(norm_col: Column | str) -> Column:
+    """norm_text -> token array (single-space tokenization; norm_text is
+    already whitespace-collapsed by the normalizer)."""
     c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
-    toks = F.split(c, " ")
-    n = F.size(toks)
+    return F.split(c, " ")
+
+
+def shingles_from_tokens(toks_col: Column | str, k: int, seed: int = 42) -> Column:
+    """Distinct 64-bit hashes of all k-token shingles from a token array.
+
+    ``toks_col`` must name a MATERIALIZED column (see module docstring).
+    Each window hashes its k tokens directly with multi-argument xxhash64
+    (no intermediate joined string, no slice allocation). Documents shorter
+    than k tokens produce a single shingle over their available tokens
+    (F.get returns NULL past the end; xxhash64 skips NULL inputs), so tiny
+    docs still participate — mirroring the reference's "whole unit is the
+    fingerprint" for small trees.
+    """
+    tc = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    n = F.size(tc)
     windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.xxhash64(*[F.get(tc, i + j) for j in range(k)], F.lit(seed)),
     )
-    return F.array_distinct(
-        F.transform(windows, lambda w: F.xxhash64(w, F.lit(seed)))
+    return F.array_distinct(windows)
+
+
+def with_shingles(
+    df: DataFrame,
+    norm_col: str = "norm_text",
+    k: int = 3,
+    seed: int = 42,
+    out: str = "shingles",
+) -> DataFrame:
+    """df + a ``out`` column of distinct shingle hashes of ``norm_col``.
+
+    Materializes the token array in its own projection first (the
+    performance contract above), then drops it.
+    """
+    return (
+        df.withColumn("__toks", tokens_col(norm_col))
+        .withColumn(out, shingles_from_tokens("__toks", k, seed))
+        .drop("__toks")
     )
 
 

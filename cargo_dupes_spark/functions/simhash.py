@@ -6,6 +6,10 @@ of 64 bit positions; the signature bit is the vote's sign. Near-duplicate
 docs differ in few bits, so candidates are found by equality on one of
 ``chunks`` bit-slices (pigeonhole: Hamming distance <= d implies at least
 one of d+1 chunks is identical).
+
+Kernel layout mirrors minhash.py: one flat contiguous buffer per Arrow
+batch, a per-bit loop of (shift, mask, segmented-sum) passes — no
+(shingles × 64) bit matrix, no unpackbits blow-up.
 """
 
 from __future__ import annotations
@@ -16,40 +20,34 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_CHUNK_SHINGLES = 1 << 18
+from .minhash import flatten_shingle_rows
+
+
+def simhash_from_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_nonempty_rows,) int64 simhash: majority vote per bit position."""
+    n = len(offsets)
+    # row lengths from offsets (last run ends at len(flat))
+    ends = np.empty(n, dtype=np.int64)
+    ends[:-1] = offsets[1:]
+    ends[-1] = len(flat)
+    half = (ends - offsets) / 2.0
+    sig = np.zeros(n, dtype=np.uint64)
+    buf = np.empty_like(flat)
+    one = np.uint64(1)
+    for bit in range(64):
+        np.right_shift(flat, np.uint64(bit), out=buf)
+        np.bitwise_and(buf, one, out=buf)
+        ones = np.add.reduceat(buf, offsets)
+        sig |= (ones > half).astype(np.uint64) << np.uint64(bit)
+    return sig.view(np.int64)
 
 
 def simhash_batch(shingle_lists: pd.Series) -> pd.Series:
-    """Arrow batch of shingle arrays -> int64 simhash per row."""
-    arrays = [np.asarray(v, dtype=np.int64) for v in shingle_lists]
-    lengths = np.array([len(v) for v in arrays], dtype=np.int64)
-    n_rows = len(arrays)
-    out = np.zeros(n_rows, dtype=np.int64)
-
-    start = 0
-    while start < n_rows:
-        end = start
-        total = 0
-        while end < n_rows and (total == 0 or total + lengths[end] <= _CHUNK_SHINGLES):
-            total += int(lengths[end])
-            end += 1
-        rows = [i for i in range(start, end) if lengths[i] > 0]
-        if rows:
-            flat = np.concatenate([arrays[i] for i in rows])
-            # (n_shingles, 64) bit matrix via unpackbits on the LE byte view
-            bits = np.unpackbits(
-                flat.astype("<u8").view(np.uint8).reshape(-1, 8),
-                axis=1,
-                bitorder="little",
-            ).astype(np.int32)
-            offsets = np.zeros(len(rows), dtype=np.int64)
-            np.cumsum(lengths[rows][:-1], out=offsets[1:])
-            votes = np.add.reduceat(bits, offsets, axis=0)  # ones count per bit
-            half = (lengths[rows] / 2.0)[:, None]
-            sig_bits = (votes > half).astype(np.uint8)  # majority vote
-            packed = np.packbits(sig_bits, axis=1, bitorder="little")
-            out[rows] = packed.view("<u8").reshape(-1).view(np.int64)
-        start = end
+    """Arrow batch of shingle arrays -> int64 simhash per row (0 for empty)."""
+    out = np.zeros(len(shingle_lists), dtype=np.int64)
+    flat, offsets, idx = flatten_shingle_rows(shingle_lists)
+    if len(idx):
+        out[idx] = simhash_from_flat(flat, offsets)
     return pd.Series(out)
 
 

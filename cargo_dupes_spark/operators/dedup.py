@@ -19,14 +19,34 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..functions.normalize import normalize_text_col, n_tokens_col
-from ..functions.shingles import jaccard_col, shingles_col
+from ..functions.shingles import jaccard_col, with_shingles
+from ..functions.signatures import signature_udf
 from ..operators.connected_components import connected_components
 from ..operators.lsh import minhash_bands, pairs_from_buckets
 from ..operators.verify import verify_pairs
-from ..functions.minhash import minhash_udf
-from ..functions.simhash import simhash_udf
 
 CFG = PipelineConfig()  # shared shingle/signature config for the oracle
+
+
+def _signatures_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, norm_text) -> (url, lang, shingles, minhash, simhash)
+    with the shared oracle config — the near-tier signature builder."""
+    base = with_shingles(
+        docs.select(
+            F.col("doc_id").cast("string").alias("url"), "lang", "norm_text"
+        ),
+        "norm_text",
+        CFG.shingle_k,
+        CFG.shingle_seed,
+    ).drop("norm_text")
+    sig = signature_udf(CFG.num_perm, CFG.minhash_seed)
+    return base.withColumn("_sig", sig(F.col("shingles"))).select(
+        "url",
+        "lang",
+        "shingles",
+        F.col("_sig.minhash").alias("minhash"),
+        F.col("_sig.simhash").alias("simhash"),
+    )
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,12 +146,7 @@ def minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH recall at J≈0.9 with 32×4 bands is 1-3e-9, so the outputs match
     exactly; this is the recall contract made into a checkable query."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
-    sigs = docs.select(
-        F.col("doc_id").cast("string").alias("url"),
-        "lang",
-        shingles_col("norm_text", CFG.shingle_k, CFG.shingle_seed).alias("shingles"),
-    ).withColumn("minhash", minhash_udf(CFG.num_perm, CFG.minhash_seed)(F.col("shingles")))
-    sigs = sigs.withColumn("simhash", simhash_udf()(F.col("shingles")))
+    sigs = _signatures_from(docs)
     pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near")
     edges = verify_pairs(pairs, sigs, CFG)
     return edges.select(
@@ -145,12 +160,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J6] connected components over the verified near-dup edges; cluster
     id = min doc_id of the component (oracle: recursive-CTE reachability)."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
-    sigs = docs.select(
-        F.col("doc_id").cast("string").alias("url"),
-        "lang",
-        shingles_col("norm_text", CFG.shingle_k, CFG.shingle_seed).alias("shingles"),
-    ).withColumn("minhash", minhash_udf(CFG.num_perm, CFG.minhash_seed)(F.col("shingles")))
-    sigs = sigs.withColumn("simhash", simhash_udf()(F.col("shingles")))
+    sigs = _signatures_from(docs)
     pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near")
     edges = verify_pairs(pairs, sigs, CFG)
     clusters = connected_components(edges).select(

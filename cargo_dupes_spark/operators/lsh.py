@@ -36,10 +36,10 @@ def minhash_bands(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
     b, r = cfg.lsh_bands, cfg.lsh_rows
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(b - 1)),
+        # xxhash64 hashes the array column directly — no string join; the
+        # minhash reference is a bound attribute, so no recompute per band
         lambda i: F.xxhash64(
-            F.col("lang"),
-            i,
-            F.array_join(F.slice(F.col("minhash"), i * r + 1, r), ","),
+            F.col("lang"), i, F.slice(F.col("minhash"), i * r + 1, r)
         ),
     )
     return signatures.select(

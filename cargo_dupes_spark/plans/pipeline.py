@@ -22,9 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..functions.minhash import minhash_udf
-from ..functions.shingles import shingles_col
-from ..functions.simhash import simhash_udf
+from ..functions.shingles import with_shingles
+from ..functions.signatures import signature_udf
 from ..operators.connected_components import connected_components
 from ..operators.exact import (
     apply_gates,
@@ -108,24 +107,28 @@ class Pipeline:
         )
 
         def build_signatures() -> DataFrame:
-            base = reps.select(
+            base = with_shingles(
+                reps.select("url", "lang", "norm_text"),
+                "norm_text",
+                cfg.shingle_k,
+                cfg.shingle_seed,
+            ).drop("norm_text")
+            # fused UDF: one Arrow transfer + one flatten computes both
+            # sketches; simhash is always kept (verify's Hamming prefilter
+            # and the interchangeable-detector contract both read it)
+            sig = signature_udf(
+                cfg.num_perm,
+                cfg.minhash_seed,
+                want_minhash="minhash" in self.detectors,
+                want_simhash=True,
+            )
+            return base.withColumn("_sig", sig(F.col("shingles"))).select(
                 "url",
                 "lang",
-                shingles_col("norm_text", cfg.shingle_k, cfg.shingle_seed).alias(
-                    "shingles"
-                ),
+                "shingles",
+                F.col("_sig.minhash").alias("minhash"),
+                F.col("_sig.simhash").alias("simhash"),
             )
-            if "minhash" in self.detectors:
-                base = base.withColumn(
-                    "minhash",
-                    minhash_udf(cfg.num_perm, cfg.minhash_seed)(F.col("shingles")),
-                )
-            else:
-                base = base.withColumn(
-                    "minhash", F.lit(None).cast("array<bigint>")
-                )
-            base = base.withColumn("simhash", simhash_udf()(F.col("shingles")))
-            return base
 
         signatures = self._stage("signatures", build_signatures)
 

@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cargo_dupes_spark.config import PipelineConfig
-from cargo_dupes_spark.functions.shingles import jaccard_col, shingles_col
+from cargo_dupes_spark.functions.shingles import jaccard_col, with_shingles
 from cargo_dupes_spark.operators.exact import exact_representatives, prepare
 from cargo_dupes_spark.plans.pipeline import Pipeline
 from cargo_dupes_spark.sources.web_pages import generate_web_pages
@@ -21,11 +21,13 @@ from cargo_dupes_spark.sources.web_pages import generate_web_pages
 
 def _brute_force_near_pairs(fps, cfg):
     """Oracle: all same-lang rep pairs with exact Jaccard >= threshold."""
-    sh = fps.select(
-        "url",
-        "lang",
-        shingles_col("norm_text", cfg.shingle_k, cfg.shingle_seed).alias("sh"),
-    )
+    sh = with_shingles(
+        fps.select("url", "lang", "norm_text"),
+        "norm_text",
+        cfg.shingle_k,
+        cfg.shingle_seed,
+        out="sh",
+    ).drop("norm_text")
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
