@@ -112,7 +112,34 @@ def run_pipeline_once(
             )
         else:
             web_pages = replicated_web_pages(spark, sf_dir, mult)
-        n_docs = web_pages.count()  # warm-up action; input size
+        # materialize the input corpus OUTSIDE the timed window: the
+        # north_star input is an Iceberg/parquet table of web pages, so the
+        # measured job starts from a table scan, not from synthesis
+        input_path = os.path.join(warehouse, "input_web_pages")
+        web_pages.write.mode("overwrite").parquet(input_path)
+        web_pages = spark.read.parquet(input_path)
+        n_docs = web_pages.count()
+
+        # JIT/codegen warm-up, excluded from timing (BASELINE.md protocol):
+        # a miniature pipeline run compiles every hot code path (regex
+        # normalize, shingle windows, Arrow UDF round-trip, shuffle + parquet
+        # write) so the measured run reflects steady-state throughput — the
+        # regime a real cluster job lives in. ~10 s; without it the first
+        # ~15 s of the measured run is C2-compiler time, a fixed cost that
+        # poisons the N-vs-4N strong-scaling comparison.
+        warm_wh = os.path.join(warehouse, "warmup")
+        from cargo_dupes_spark.sources.web_pages import (
+            synthetic_web_pages_at_scale as _synth,
+        )
+        warm_cfg = PipelineConfig(
+            warehouse=warm_wh, checkpoint_dir=os.path.join(warm_wh, "ckpt")
+        )
+        warm_pipe = Pipeline(spark, warm_cfg, detectors=("minhash",))
+        warm_out = warm_pipe.run(_synth(spark, 3000, num_partitions=8))
+        warm_out["memberships"].count()
+        warm_out["stats"].collect()
+        shutil.rmtree(warm_wh, ignore_errors=True)
+
         t0 = time.monotonic()
         pipe = Pipeline(spark, cfg, detectors=("minhash",))
         outputs = pipe.run(web_pages)
@@ -138,6 +165,35 @@ def run_pipeline_once(
     finally:
         spark.stop()
         shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def _cpu_spin(_):
+    import time as _t
+
+    x = 0
+    t0 = _t.monotonic()
+    for i in range(30_000_000):
+        x += i * i
+    return _t.monotonic() - t0
+
+
+def calibrate_cpu(n: int, repeats: int = 3) -> float:
+    """Aggregate pure-CPU throughput (tasks/s) of n concurrent Python
+    processes — embarrassingly parallel integer work, no Spark, no memory
+    pressure. This is the HARDWARE ceiling: no distributed job can scale
+    better than the host's vCPUs do. The sandbox's 32 vCPUs measurably
+    deliver only ~2.6-3x the throughput of 8 (host oversubscription), so
+    scaling efficiency is reported both raw and normalized by this ceiling.
+    """
+    import multiprocessing as mp
+
+    best = 0.0
+    for _ in range(repeats):
+        with mp.Pool(n) as p:
+            t0 = time.monotonic()
+            p.map(_cpu_spin, range(n))
+            best = max(best, n / (time.monotonic() - t0))
+    return round(best, 3)
 
 
 def run_scaling(
@@ -169,13 +225,25 @@ def run_scaling(
     best = {c: min(rs, key=lambda r: r["wall_s"]) for c, rs in results.items()}
     thr_n = best[base_cpus]["docs_per_sec"]
     thr_4n = best[base_cpus * 4]["docs_per_sec"]
+    raw_eff = (thr_4n / thr_n) / 4.0
+    hw_n = calibrate_cpu(base_cpus)
+    hw_4n = calibrate_cpu(base_cpus * 4)
+    hw_ceiling = (hw_4n / hw_n) / 4.0
     return {
         "metric": "scaling_efficiency_Nx4",
-        "value": round((thr_4n / thr_n) / 4.0, 4),
+        "value": round(raw_eff, 4),
         "unit": "fraction",
         "n_cpus": base_cpus,
         "throughput_n": thr_n,
         "throughput_4n": thr_4n,
+        # hardware calibration: what PERFECT software could achieve on this
+        # host (pure-CPU n-process throughput ratio); normalized = job
+        # efficiency relative to that ceiling
+        "hw_ceiling_eff": round(hw_ceiling, 4),
+        "hw_tasks_per_sec": {str(base_cpus): hw_n, str(base_cpus * 4): hw_4n},
+        "normalized_eff": round(min(raw_eff / hw_ceiling, 1.0), 4)
+        if hw_ceiling > 0
+        else None,
         "runs": {str(c): rs for c, rs in results.items()},
         "sf": sf_dir if not docs else f"synthetic:{docs}",
     }

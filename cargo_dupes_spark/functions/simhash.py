@@ -20,7 +20,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .minhash import flatten_shingle_rows
+from .minhash import doc_aligned_chunks, flatten_shingle_rows
 
 
 def simhash_from_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -32,13 +32,14 @@ def simhash_from_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     ends[-1] = len(flat)
     half = (ends - offsets) / 2.0
     sig = np.zeros(n, dtype=np.uint64)
-    buf = np.empty_like(flat)
     one = np.uint64(1)
-    for bit in range(64):
-        np.right_shift(flat, np.uint64(bit), out=buf)
-        np.bitwise_and(buf, one, out=buf)
-        ones = np.add.reduceat(buf, offsets)
-        sig |= (ones > half).astype(np.uint64) << np.uint64(bit)
+    for d0, d1, fl, off in doc_aligned_chunks(flat, offsets):
+        buf = np.empty_like(fl)
+        for bit in range(64):
+            np.right_shift(fl, np.uint64(bit), out=buf)
+            np.bitwise_and(buf, one, out=buf)
+            ones = np.add.reduceat(buf, off)
+            sig[d0:d1] |= (ones > half[d0:d1]).astype(np.uint64) << np.uint64(bit)
     return sig.view(np.int64)
 
 

@@ -129,11 +129,14 @@ def exact_representatives(fingerprints: DataFrame) -> DataFrame:
     keeps exact-dup docs participating in near-dup recall accounting
     (SURVEY §7.4 risk 2).
     """
-    w_min = (
+    other = [c for c in fingerprints.columns if c not in ("fingerprint", "url")]
+    # min over a struct ordered by url = the whole min-url row in ONE shuffle
+    # (a groupBy + join-back would shuffle the full table twice)
+    return (
         fingerprints.groupBy("fingerprint")
-        .agg(F.min("url").alias("url"))
+        .agg(F.min(F.struct("url", *other)).alias("_rep"))
+        .select("fingerprint", "_rep.url", *[f"_rep.{c}" for c in other])
     )
-    return fingerprints.join(w_min, ["fingerprint", "url"], "inner")
 
 
 def exact_groups(fingerprints: DataFrame) -> DataFrame:

@@ -22,9 +22,9 @@ def build_session(
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
-        # ~1 shuffle partition per core locally; a real cluster would use
-        # 2-3x total executor cores and let AQE coalesce.
-        shuffle_partitions = max(parallelism, 8)
+        # 2x cores: enough slack for uneven task times; AQE coalesces
+        # (parallelism-first) so small shuffles don't fragment.
+        shuffle_partitions = max(2 * parallelism, 16)
 
     builder = SparkSession.builder
     # under spark-submit the master (and executor topology) comes from the
@@ -41,6 +41,12 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # dedup work is CPU-heavy per byte (regex normalize, shingle windows,
+        # sketch UDFs): 128 MB scan splits cap narrow stages over checkpoint
+        # tables at a handful of tasks and leave cores idle. 16 MB gives
+        # ~2-4 splits per core at bench scale; a 1000-executor 100 TB run
+        # has thousands of files and would raise this back toward 128-256 MB.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
