@@ -251,6 +251,25 @@ def _q_media_dupes(spark: SparkSession, sf: str) -> DataFrame:
     return exact_media_dupes(feats).select("media_id", "media_type").orderBy("media_id")
 
 
+def _q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # the ANN scale path: random-hyperplane LSH buckets + exact cosine
+    # re-rank. Rows-only check (approximate by design: recall < 1 on random
+    # vectors; the exactness baseline topk_cosine carries the SQL oracle).
+    from cargo_dupes_spark.operators.similarity import lsh_topk
+
+    emb = load_embeddings(spark, sf).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    out = lsh_topk(emb, k=5, dim=dim, n_planes=8, n_tables=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_docs": _q_normalize,
@@ -273,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "events_topk": _q_events_topk,
         "media_exact_dupes": _q_media_dupes,  # rows-only (stubbed codec)
+        "simhash_hamming_pairs": dedup.simhash_hamming_pairs,  # rows-only
+        "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate ANN)
     }
 
 

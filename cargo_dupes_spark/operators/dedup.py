@@ -22,7 +22,7 @@ from ..functions.normalize import normalize_text_col, n_tokens_col
 from ..functions.shingles import jaccard_col, with_shingles
 from ..functions.signatures import signature_udf
 from ..operators.connected_components import connected_components
-from ..operators.lsh import minhash_bands, pairs_from_buckets
+from ..operators.lsh import minhash_bands, pairs_from_buckets, simhash_buckets
 from ..operators.verify import verify_pairs
 
 CFG = PipelineConfig()  # shared shingle/signature config for the oracle
@@ -175,6 +175,33 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters.join(mins, "cluster_id")
         .select("doc_id", "cluster_min")
         .orderBy("doc_id")
+    )
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F6/J3 simhash tier] SimHash detector end-to-end over the near-copy
+    union: chunk-bucket candidates (pigeonhole) -> Hamming <= d verify.
+
+    No SQL oracle: the 64-bit signature depends on Spark's xxhash64 shingle
+    values, which DuckDB cannot reproduce — the driver records the weaker
+    rows-only check. Determinism: fixed shingle/signature config; the
+    Jaccard<->Hamming relation is validated separately by tests
+    (tests/test_simhash.py) and by the minhash tier's exact oracle over the
+    same planted pairs."""
+    docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
+    sigs = _signatures_from(docs)
+    pairs, _ = pairs_from_buckets(simhash_buckets(sigs, CFG), CFG, "simhash")
+    a = sigs.select(F.col("url").alias("url_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("url").alias("url_b"), F.col("simhash").alias("sh_b"))
+    joined = pairs.join(a, "url_a").join(b, "url_b")
+    return (
+        joined.select(
+            F.least(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_a"),
+            F.greatest(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_b"),
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= CFG.hamming_threshold)
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -42,7 +42,29 @@ def test_oracle_keys_subset():
     o = set(entry_mod.oracle_sql())
     assert o <= q
     # every non-oracle query is documented as rows-only
-    assert q - o == {"media_exact_dupes"}
+    assert q - o == {
+        "media_exact_dupes",       # stubbed codec
+        "simhash_hamming_pairs",   # signature depends on Spark xxhash64
+        "ann_lsh_topk",            # approximate by design (recall < 1)
+    }
+
+
+ROWS_ONLY_SCHEMAS = {
+    "media_exact_dupes": {"media_id", "media_type"},
+    "simhash_hamming_pairs": {"id_a", "id_b", "hamming"},
+    "ann_lsh_topk": {"query_id", "neighbor_id", "cosine_e6", "rank"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_SCHEMAS))
+def test_rows_only_queries_run(spark, name):
+    """Rows-only queries (no SQL oracle) still run deterministically: twice
+    the same rows, non-empty, stable schema."""
+    df1 = entry_mod.queries()[name](spark, SF).toPandas()
+    df2 = entry_mod.queries()[name](spark, SF).toPandas()
+    assert set(df1.columns) == ROWS_ONLY_SCHEMAS[name]
+    assert len(df1) > 0
+    pd.testing.assert_frame_equal(_canon(df1), _canon(df2))
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
