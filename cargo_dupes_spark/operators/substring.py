@@ -108,7 +108,7 @@ def substring_candidates(
         F.lit(0).alias("band_id"),
         F.xxhash64("lang", "fph").alias("band_key"),
     )
-    return pairs_from_buckets(bucketed, cfg, "substring")
+    return pairs_from_buckets(bucketed, cfg, "substring", urls=eligible)
 
 
 def _common_substring_len_at(

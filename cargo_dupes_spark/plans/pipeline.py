@@ -136,13 +136,15 @@ class Pipeline:
             parts, flagged_parts = [], []
             if "minhash" in self.detectors:
                 pairs, flagged = pairs_from_buckets(
-                    minhash_bands(signatures, cfg), cfg, "near"
+                    minhash_bands(signatures, cfg), cfg, "near",
+                    urls=signatures,
                 )
                 parts.append(pairs)
                 flagged_parts.append(flagged)
             if "simhash" in self.detectors:
                 pairs, flagged = pairs_from_buckets(
-                    simhash_buckets(signatures, cfg), cfg, "simhash"
+                    simhash_buckets(signatures, cfg), cfg, "simhash",
+                    urls=signatures,
                 )
                 parts.append(pairs)
                 flagged_parts.append(flagged)
