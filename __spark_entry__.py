@@ -59,6 +59,15 @@ _NORM = normalize_text_sql("text", CFG)
 _K = CFG.shingle_k
 
 
+def _embedding_dim(emb: DataFrame) -> int:
+    """Vector width from one row — fails with a clear message on an empty
+    table instead of a TypeError on None[0]."""
+    first = emb.select("embedding").first()
+    if first is None or first[0] is None:
+        raise ValueError("embeddings table is empty (or embedding is NULL)")
+    return len(first[0])
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -210,7 +219,7 @@ def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         "label",
     )
     both = emb.unionByName(scaled)
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(emb)
     pairs = embedding_near_dup_pairs(both, threshold=0.99, dim=dim)
     return pairs.select(
         "id_a",
@@ -260,7 +269,7 @@ def _q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_embeddings(spark, sf).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(emb)
     out = lsh_topk(emb, k=5, dim=dim, n_planes=8, n_tables=8)
     return out.select(
         "query_id",

@@ -144,9 +144,14 @@ def minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[F5/F7/J3/J4] the full MinHash→LSH→verify path over the near-copy
     union. The ORACLE is brute-force SQL Jaccard over token-shingle sets —
     LSH recall at J≈0.9 with 32×4 bands is 1-3e-9, so the outputs match
-    exactly; this is the recall contract made into a checkable query."""
+    exactly; this is the recall contract made into a checkable query.
+
+    The signature chain (normalize→shingle→sketch UDF) is localCheckpointed:
+    banding and both verify joins read it, and without the checkpoint the
+    UDF chain re-runs once per consumer (the production Pipeline checkpoints
+    every stage to the catalog instead)."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
-    sigs = _signatures_from(docs)
+    sigs = _signatures_from(docs).localCheckpoint()
     pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near", urls=sigs)
     edges = verify_pairs(pairs, sigs, CFG)
     return edges.select(
@@ -160,9 +165,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J6] connected components over the verified near-dup edges; cluster
     id = min doc_id of the component (oracle: recursive-CTE reachability)."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
-    sigs = _signatures_from(docs)
+    sigs = _signatures_from(docs).localCheckpoint()
     pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near", urls=sigs)
-    edges = verify_pairs(pairs, sigs, CFG)
+    # CC reads the edge set repeatedly (node extraction + round 0) — pin it
+    edges = verify_pairs(pairs, sigs, CFG).localCheckpoint()
     clusters = connected_components(edges).select(
         F.col("url").cast("long").alias("doc_id"), "cluster_id"
     )
@@ -189,7 +195,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_simhash.py) and by the minhash tier's exact oracle over the
     same planted pairs."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
-    sigs = _signatures_from(docs)
+    sigs = _signatures_from(docs).localCheckpoint()
     pairs, _ = pairs_from_buckets(simhash_buckets(sigs, CFG), CFG, "simhash", urls=sigs)
     a = sigs.select(F.col("url").alias("url_a"), F.col("simhash").alias("sh_a"))
     b = sigs.select(F.col("url").alias("url_b"), F.col("simhash").alias("sh_b"))

@@ -50,23 +50,129 @@ def minhash_bands(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def simhash_buckets(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(url, band_id, band_key) from SimHash bit-slices: pigeonhole
     guarantees any pair with Hamming distance <= hamming_threshold shares at
-    least one of the cfg.simhash_chunks slices."""
+    least one of the cfg.simhash_chunks slices.
+
+    One posexplode over an array of chunk keys — a single scan of the input
+    (the previous n-way unioned selects re-evaluated the un-persisted
+    signature chain once per chunk), mirroring minhash_bands.
+    """
     n = cfg.simhash_chunks
-    parts = []
-    for i in range(n):
-        parts.append(
-            signatures.select(
-                "url",
-                F.lit(i).alias("band_id"),
-                F.xxhash64(
-                    F.col("lang"), F.lit(i), simhash_chunk_col("simhash", i, n)
-                ).alias("band_key"),
-            )
+    chunks = F.array(
+        *[
+            F.xxhash64(F.col("lang"), F.lit(i), simhash_chunk_col("simhash", i, n))
+            for i in range(n)
+        ]
+    )
+    return signatures.select(
+        "url", F.posexplode(chunks).alias("band_id", "band_key")
+    )
+
+
+FLAGGED_SCHEMA = (
+    "band_id INT, band_key BIGINT, bucket_size BIGINT, action STRING"
+)
+
+
+def nid_pairs_from_buckets(
+    bucketed: DataFrame, cfg: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Core pair generation over (nid BIGINT, band_id, band_key) bucket rows
+    -> (nid pairs with nid_a < nid_b, flagged-bucket accounting).
+
+    Skew policy (north_rule "salted repartitioning handles hot-host URL
+    skew"; SURVEY §7.4 risk 4 — never silent):
+      * size <= max_bucket_size                    — pair normally
+      * max < size <= max*salt_buckets             — SALT: split members
+        into salt_buckets sub-buckets by nid and pair within each
+        sub-bucket. Bounds the fan-out at (size/salt)² per sub-bucket.
+        Cross-sub-bucket pairs in this band are lost, but hot docs share
+        many OTHER bands (a true near-dup pair collides in any of b bands),
+        so the recall hit concentrates on boilerplate mega-groups.
+      * size > max*salt_buckets                    — drop + account.
+
+    Two passes over the band rows:
+      PASS 1 — a count-only aggregation (map-side combined: the shuffle
+      carries (band_key, partial_count), not members) finds mega-buckets.
+      The flagged set is collected eagerly — it is bounded by the number of
+      distinct mega-buckets, tiny by construction — so no pathological
+      bucket ever materializes a member array, and nothing stays persisted
+      after the call (the old single-pass design cached full collect_list
+      arrays for the session lifetime).
+      PASS 2 — the ONE wide shuffle: dropped buckets are excluded and
+      salted buckets re-keyed via a broadcast join against the flagged set,
+      then each bucket's members are collected and expanded to pairs
+      JVM-side with nested array transforms (measured 2x faster than the
+      equivalent equi-self-join, which shuffles the band rows twice).
+
+    flagged has (band_id, band_key, bucket_size, action in
+    {'salted','dropped'}) and is already materialized (driver-side rows).
+    """
+    cap = cfg.max_bucket_size
+    salt = cfg.salt_buckets
+    spark = bucketed.sparkSession
+
+    sizes = bucketed.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    flagged_rows = (
+        sizes.filter(F.col("sz") > cap)
+        .select(
+            F.col("band_id").cast("int").alias("band_id"),
+            "band_key",
+            F.col("sz").alias("bucket_size"),
+            F.when(F.col("sz") <= cap * salt, F.lit("salted"))
+            .otherwise(F.lit("dropped"))
+            .alias("action"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .collect()
+    )
+    flagged = spark.createDataFrame(flagged_rows, FLAGGED_SCHEMA)
+
+    if flagged_rows:
+        adj = F.broadcast(
+            flagged.select("band_id", "band_key", "action")
+        )
+        bucketed = (
+            bucketed.join(adj, ["band_id", "band_key"], "left")
+            .filter((F.col("action").isNull()) | (F.col("action") == "salted"))
+            .withColumn(
+                "band_key",
+                F.when(
+                    F.col("action") == "salted",
+                    # sub-bucket key: fold an nid-derived salt into the band
+                    # key (nid = xxhash64(url) — url-hash salting)
+                    F.xxhash64(
+                        F.col("band_key"), F.pmod(F.col("nid"), F.lit(salt))
+                    ),
+                ).otherwise(F.col("band_key")),
+            )
+            .drop("action")
+        )
+
+    grouped = (
+        bucketed.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("nid")).alias("us"))
+        .withColumn("sz", F.size("us"))
+        .filter(F.col("sz") > 1)
+    )
+    us = F.col("us")
+    pairs_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.col("sz") - 1),
+            lambda i: F.transform(
+                F.slice(us, i + 1, F.col("sz") - i),
+                lambda v: F.struct(
+                    F.get(us, i - 1).alias("nid_a"), v.alias("nid_b")
+                ),
+            ),
+        )
+    )
+    nid_pairs = (
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.nid_a", "p.nid_b")
+        .dropDuplicates(["nid_a", "nid_b"])
+    )
+    return nid_pairs, flagged
 
 
 def pairs_from_buckets(
@@ -75,122 +181,45 @@ def pairs_from_buckets(
     tier: str,
     urls: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Bucket rows -> deduped candidate pairs (url_a < url_b) + an
-    accounting DataFrame of buckets that were salted or dropped.
+    """Bucket rows (url, band_id, band_key) -> deduped candidate pairs
+    (url_a < url_b) + the flagged-bucket accounting of
+    ``nid_pairs_from_buckets`` (see its docstring for the skew policy).
 
-    Skew policy (north_rule "salted repartitioning handles hot-host URL
-    skew"; SURVEY §7.4 risk 4 — never silent):
-      * size <= max_bucket_size                    — pair normally
-      * max < size <= max*salt_buckets             — SALT: split members
-        into salt_buckets sub-buckets by url hash and pair within each
-        sub-bucket. Bounds the join fan-out at (size/salt)² per sub-bucket.
-        Cross-sub-bucket pairs in this band are lost, but hot docs share
-        many OTHER bands (a true near-dup pair collides in any of b bands),
-        so the recall hit concentrates on boilerplate mega-groups.
-      * size > max*salt_buckets                    — drop + account
-        (returned for the lineage/metrics sink).
+    The heavy shuffle carries 8-byte url-hash surrogates (nid), not url
+    strings — ~3x fewer shuffle bytes over the ~(docs x bands) band rows;
+    the (small) final pair set maps back to urls via an equi-join against
+    the distinct url list (auto-broadcast under 64 MB; a plain shuffled
+    hash join of pairs«docs at 10^12 scale).
 
-    Returns (pairs, flagged) where flagged has
-    (band_id, band_key, bucket_size, action in {'salted','dropped'}).
+    ``urls``, when given, MUST be one-row-per-url (signatures/reps frames
+    are); duplicate urls would fan out the join-back and multiply output
+    pairs. Callers that can't guarantee that should pass None (a distinct()
+    over the band rows is derived, at the cost of an extra shuffle).
+
+    nid = xxhash64(url) collisions (~n²/2^65 — relevant only near 10^12
+    docs) are neutralized at the join-back: self-pairs from two urls
+    colliding on one nid are filtered (url_a != url_b) and the final dedup
+    runs on the url pair, not the nid pair.
     """
-    cap = cfg.max_bucket_size
-    salt = cfg.salt_buckets
-    # The heavy shuffle carries 8-byte url-hash surrogates (nid), not url
-    # strings — ~3x fewer shuffle bytes over the ~(docs x bands) band rows;
-    # the (small) final pair set maps back to urls via an equi-join against
-    # the distinct url list (auto-broadcast under 64 MB; a plain shuffled
-    # hash join of pairs«docs at 10^12 scale).
-    # callers that already hold the distinct url set (signatures/reps) pass
-    # it via `urls` — a distinct() over the ~(docs x bands) band rows is a
-    # full extra shuffle otherwise
     url_src = urls.select("url") if urls is not None else (
         bucketed.select("url").distinct()
     )
     url_map = url_src.withColumn("nid", F.xxhash64("url"))
-    bucketed = bucketed.select(
+    nid_rows = bucketed.select(
         F.xxhash64("url").alias("nid"), "band_id", "band_key"
     )
-    # ONE wide shuffle: collect each bucket's members, then expand pairs
-    # JVM-side with nested array transforms. Measured 2x faster than the
-    # equivalent equi-self-join (which shuffles the band rows twice and
-    # probes a hash table); the collect_list buffers spill via Spark's
-    # sort-based aggregation fallback. Memory note for 10^12-doc runs: a
-    # pathological bucket materializes its member array once before being
-    # flagged 'dropped' — if boilerplate mega-groups are expected, run a
-    # cheap pre-count and pre-filter those keys (documented trade-off;
-    # bounded here by cap*salt ~ 32k members).
-    grouped = (
-        bucketed.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("nid")).alias("us"))
-        .withColumn("sz", F.size("us"))
-        .filter(F.col("sz") > 1)
-        .persist()  # feeds ok-pairs, salted-pairs and the accounting action
-    )
-    flagged = grouped.filter(F.col("sz") > cap).select(
-        "band_id",
-        "band_key",
-        F.col("sz").alias("bucket_size"),
-        F.when(F.col("sz") <= cap * salt, F.lit("salted"))
-        .otherwise(F.lit("dropped"))
-        .alias("action"),
-    )
-
-    def expand(df: DataFrame) -> DataFrame:
-        """All (us[i], us[j]) i<j pairs from each sorted member array."""
-        us = F.col("us")
-        pairs_arr = F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.col("sz") - 1),
-                lambda i: F.transform(
-                    F.slice(us, i + 1, F.col("sz") - i),
-                    lambda v: F.struct(
-                        F.get(us, i - 1).alias("nid_a"), v.alias("nid_b")
-                    ),
-                ),
-            )
-        )
-        return df.select(F.explode(pairs_arr).alias("p")).select(
-            "p.nid_a", "p.nid_b"
-        )
-
-    ok_pairs = expand(grouped.filter(F.col("sz") <= cap))
-
-    # SALT path: re-bucket the (few) hot arrays by url-hash sub-bucket and
-    # pair within each — bounds fan-out at (size/salt)² per sub-bucket.
-    # Cross-sub-bucket pairs in this band are lost, but hot docs share many
-    # OTHER bands, so the recall hit concentrates on boilerplate mega-groups.
-    salted_members = (
-        grouped.filter((F.col("sz") > cap) & (F.col("sz") <= cap * salt))
-        .select("band_id", "band_key", F.explode("us").alias("nid"))
-        .select(
-            "band_id",
-            # sub-bucket key: fold an nid-derived salt into the band key
-            # (nid = xxhash64(url), so this is the same url-hash salting)
-            F.xxhash64(
-                F.col("band_key"), F.pmod(F.col("nid"), F.lit(salt))
-            ).alias("band_key"),
-            "nid",
-        )
-    )
-    salted_pairs = expand(
-        salted_members.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("nid")).alias("us"))
-        .withColumn("sz", F.size("us"))
-        .filter(F.col("sz") > 1)
-    )
-
-    nid_pairs = ok_pairs.unionByName(salted_pairs).dropDuplicates(
-        ["nid_a", "nid_b"]
-    )
+    nid_pairs, flagged = nid_pairs_from_buckets(nid_rows, cfg)
     map_a = url_map.select(F.col("nid").alias("nid_a"), F.col("url").alias("ua"))
     map_b = url_map.select(F.col("nid").alias("nid_b"), F.col("url").alias("ub"))
     pairs = (
         nid_pairs.join(map_a, "nid_a", "inner")
         .join(map_b, "nid_b", "inner")
+        .filter(F.col("ua") != F.col("ub"))
         .select(
             F.least("ua", "ub").alias("url_a"),
             F.greatest("ua", "ub").alias("url_b"),
         )
+        .dropDuplicates(["url_a", "url_b"])
         .withColumn("tier", F.lit(tier))
     )
     return pairs, flagged
