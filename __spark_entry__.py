@@ -49,6 +49,7 @@ from cargo_dupes_spark.operators.dedup import (
     normalized,
     with_exact_copies,
 )
+from cargo_dupes_spark.functions.shingles import oracle_shingle_hash_sql
 from cargo_dupes_spark.operators.similarity import (
     brute_force_topk,
     cosine_col,
@@ -301,7 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "events_topk": _q_events_topk,
         "media_exact_dupes": _q_media_dupes,  # rows-only (stubbed codec)
-        "simhash_hamming_pairs": dedup.simhash_hamming_pairs,  # rows-only
+        "simhash_hamming_pairs": dedup.simhash_hamming_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate ANN)
     }
 
@@ -432,6 +433,30 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_pairs": f"""
             with {_NEAR_EDGES}
             select id_a, id_b, jaccard_e6 from edges order by id_a, id_b
+        """,
+        # brute-force Hamming over identical signatures: the shingle hash is
+        # the 60-bit md5 both engines compute byte-identically, and the
+        # simhash bit-vote (majority per bit: 2*ones > n) mirrors the numpy
+        # kernel exactly; bits 60..63 are always 0 (hash < 2^60), so
+        # range(0,60) suffices and all arithmetic stays in signed int64
+        "simhash_hamming_pairs": f"""
+            with docs as ({_NEAR_UNION}),
+            norm as (select doc_id, lang, {_NORM} as nt from docs),
+            toks as (select doc_id, lang, string_split(nt, ' ') as tk from norm),
+            sh as (select doc_id, lang,
+                   {oracle_shingle_hash_sql(_shingle_expr('tk', _K))} as hs
+                   from toks),
+            sig as (select doc_id, lang,
+              list_sum([case when 2*len(list_filter(hs, x -> (x >> b) & 1 = 1))
+                             > len(hs)
+                        then (1::bigint << b) else 0 end
+                        for b in range(0, 60)])::bigint as sim
+              from sh)
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   bit_count(xor(a.sim, b.sim))::bigint as hamming
+            from sig a join sig b on a.doc_id < b.doc_id and a.lang = b.lang
+            where bit_count(xor(a.sim, b.sim)) <= {CFG.hamming_threshold}
+            order by id_a, id_b
         """,
         "near_dup_clusters": f"""
             with recursive {_NEAR_EDGES},

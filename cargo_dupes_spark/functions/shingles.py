@@ -66,6 +66,44 @@ def with_shingles(
     )
 
 
+# --- oracle-reproducible shingle hashing -----------------------------------
+# Production shingles hash with Spark's xxhash64 (fastest JVM path, above).
+# For CORRECTNESS oracles, a hash BOTH engines compute identically is needed:
+# the first 15 hex chars of md5 of the space-joined k-token window — a 60-bit
+# non-negative value, so every downstream int64 operation (simhash bit votes,
+# xor, bit_count) is overflow-free under Spark's ANSI mode. Verified
+# byte-identical between Spark (conv/substring/md5) and DuckDB
+# (('0x'||substring(md5(x),1,15))::bigint).
+
+
+def oracle_shingle_hashes(toks_col: Column | str, k: int) -> Column:
+    """Distinct 60-bit md5 hashes of all space-joined k-token windows.
+
+    Same windowing as shingles_from_tokens (short docs yield one window over
+    their available tokens; F.slice truncates past the end exactly like
+    DuckDB's list slice). ``toks_col`` must be a materialized column (the
+    module's performance contract)."""
+    tc = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    n = F.size(tc)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(tc, i + 1, k))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return F.array_distinct(windows)
+
+
+def oracle_shingle_hash_sql(shingle_list_expr: str) -> str:
+    """DuckDB: list of shingle strings -> list of the same 60-bit hashes."""
+    return (
+        f"list_transform({shingle_list_expr}, "
+        f"x -> ('0x' || substring(md5(x), 1, 15))::bigint)"
+    )
+
+
 def jaccard_col(a: Column | str, b: Column | str) -> Column:
     """Exact Jaccard over two distinct-shingle arrays [J4] — built-in set ops
     (array_intersect/array_union), JVM-side; the conservative-zip Dice of the

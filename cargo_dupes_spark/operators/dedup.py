@@ -188,14 +188,32 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[F6/J3 simhash tier] SimHash detector end-to-end over the near-copy
     union: chunk-bucket candidates (pigeonhole) -> Hamming <= d verify.
 
-    No SQL oracle: the 64-bit signature depends on Spark's xxhash64 shingle
-    values, which DuckDB cannot reproduce — the driver records the weaker
-    rows-only check. Determinism: fixed shingle/signature config; the
-    Jaccard<->Hamming relation is validated separately by tests
-    (tests/test_simhash.py) and by the minhash tier's exact oracle over the
-    same planted pairs."""
+    SQL-ORACLE-CHECKED: shingles are hashed with the oracle-reproducible
+    60-bit md5 hash (functions/shingles.py) instead of xxhash64, so DuckDB
+    computes the identical signatures; the simhash itself still runs through
+    the production numpy kernel (functions/simhash.py — the same bit-vote
+    code the Pipeline uses). The oracle is brute-force Hamming over all
+    same-lang pairs; Spark's pigeonhole chunk bucketing is exact for
+    candidate generation (hamming <= d implies >= 1 of d+1 chunks equal), so
+    outputs match exactly. Hamming-threshold verify is the analog of the
+    reference's Dice-threshold check (dupes-core/src/grouper.rs:137-151)."""
+    from ..functions.shingles import oracle_shingle_hashes, tokens_col
+    from ..functions.simhash import simhash_udf
+
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
-    sigs = _signatures_from(docs).localCheckpoint()
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "lang",
+        tokens_col("norm_text").alias("__toks"),
+    )
+    sh = toks.select(
+        "url", "lang", oracle_shingle_hashes("__toks", CFG.shingle_k).alias("shingles")
+    )
+    sigs = (
+        sh.withColumn("simhash", simhash_udf()(F.col("shingles")))
+        .select("url", "lang", "simhash")
+        .localCheckpoint()
+    )
     pairs, _ = pairs_from_buckets(simhash_buckets(sigs, CFG), CFG, "simhash", urls=sigs)
     a = sigs.select(F.col("url").alias("url_a"), F.col("simhash").alias("sh_a"))
     b = sigs.select(F.col("url").alias("url_b"), F.col("simhash").alias("sh_b"))
@@ -204,7 +222,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(
             F.least(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_a"),
             F.greatest(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_b"),
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= CFG.hamming_threshold)
         .orderBy("id_a", "id_b")

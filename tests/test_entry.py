@@ -44,14 +44,12 @@ def test_oracle_keys_subset():
     # every non-oracle query is documented as rows-only
     assert q - o == {
         "media_exact_dupes",       # stubbed codec
-        "simhash_hamming_pairs",   # signature depends on Spark xxhash64
         "ann_lsh_topk",            # approximate by design (recall < 1)
     }
 
 
 ROWS_ONLY_SCHEMAS = {
     "media_exact_dupes": {"media_id", "media_type"},
-    "simhash_hamming_pairs": {"id_a", "id_b", "hamming"},
     "ann_lsh_topk": {"query_id", "neighbor_id", "cosine_e6", "rank"},
 }
 
