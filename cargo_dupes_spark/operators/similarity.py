@@ -73,21 +73,64 @@ def brute_force_topk(
     )
 
 
-def random_hyperplane_udf(dim: int, n_planes: int, seed: int = 13):
-    """Sign-sketch of an embedding: n_planes random hyperplanes -> bit key.
+def multi_table_sketch_udf(dim: int, n_planes: int, n_tables: int, seed: int = 13):
+    """Sign-sketches of an embedding for ALL hash tables in one pass:
+    n_tables × n_planes random hyperplanes -> array of n_tables bit keys.
     (Charikar'02 SimHash for angular distance — the embedding-space twin of
-    the text SimHash tier.)"""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    the text SimHash tier.) One Arrow transfer + one matmul computes every
+    table's key (the previous per-table UDFs re-scanned the input n_tables
+    times); per-table planes keep the rng(seed + t) derivation so keys are
+    bit-identical to the old per-table sketches."""
+    planes = np.hstack(
+        [
+            np.random.default_rng(seed + t)
+            .standard_normal((dim, n_planes))
+            .astype(np.float32)
+            for t in range(n_tables)
+        ]
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
 
-    @F.pandas_udf(T.LongType())
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sketch(vecs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
-        bits = (mat @ planes) > 0
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        return pd.Series(bits @ weights)
+        bits = (mat @ planes) > 0  # (rows, tables*planes)
+        keys = bits.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series(list(keys))
 
     return _sketch
+
+
+def _ann_candidate_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    max_bucket_size: int,
+    salt_buckets: int,
+):
+    """ids-only LSH candidate generation with the SAME cap/salt/account
+    machinery as the text tiers (operators/lsh.py): a dense embedding region
+    (the normal case — real embeddings cluster) previously made the
+    per-bucket self-join quadratic and carried both full vectors through the
+    candidate shuffle. Here the shuffle carries only (id, band_id, band_key)
+    and mega-buckets are salted or dropped WITH accounting.
+
+    Returns (nid_pairs with nid_a < nid_b, flagged accounting frame)."""
+    from ..config import PipelineConfig
+    from .lsh import nid_pairs_from_buckets
+
+    cfg = PipelineConfig(
+        max_bucket_size=max_bucket_size, salt_buckets=salt_buckets
+    )
+    sketch = multi_table_sketch_udf(dim, n_planes, n_tables, seed)
+    bucketed = embeddings.select(
+        F.col(id_col).alias("nid"), sketch(F.col(vec_col)).alias("__keys")
+    ).select("nid", F.posexplode("__keys").alias("band_id", "band_key"))
+    return nid_pairs_from_buckets(bucketed, cfg)
 
 
 def lsh_topk(
@@ -99,47 +142,44 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 13,
+    max_bucket_size: int = 2000,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Approximate all-pairs top-k: n_tables independent hyperplane sketches,
-    candidates meet when any sketch matches, exact cosine re-rank inside
-    buckets. Recall grows with n_tables; bucket sizes shrink with n_planes."""
-    sketched = embeddings.select(id_col, vec_col)
-    buckets = []
-    for t in range(n_tables):
-        udf = random_hyperplane_udf(dim, n_planes, seed + t)
-        buckets.append(
-            sketched.select(
-                F.col(id_col).alias("vid"),
-                F.col(vec_col).alias("vec"),
-                F.lit(t).alias("table_id"),
-                udf(F.col(vec_col)).alias("bucket"),
-            )
-        )
-    all_buckets = buckets[0]
-    for b in buckets[1:]:
-        all_buckets = all_buckets.unionByName(b)
+    candidates meet when any sketch matches, exact cosine re-rank on the
+    candidate set. Recall grows with n_tables; bucket sizes shrink with
+    n_planes; buckets above max_bucket_size are salted (up to salt_buckets
+    sub-buckets) or dropped with accounting, bounding the worst case.
 
-    a = all_buckets.alias("a")
-    b = all_buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") != F.col("b.vid")),
-        )
-        .select(
-            F.col("a.vid").alias("query_id"),
-            F.col("b.vid").alias("neighbor_id"),
-            F.col("a.vec").alias("qv"),
-            F.col("b.vec").alias("cv"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    The candidate shuffle carries 8-byte ids only; vectors are joined back
+    just for the re-rank (pairs << docs, so both joins are cheap relative to
+    shuffling vectors through the bucket stage)."""
+    nid_pairs, _ = _ann_candidate_pairs(
+        embeddings, dim, n_planes, n_tables, id_col, vec_col, seed,
+        max_bucket_size, salt_buckets,
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_col("qv", "cv"), 6).alias("cosine"),
+    # top-k is per-query: expand undirected pairs to both orientations
+    directed = nid_pairs.select(
+        F.col("nid_a").alias("query_id"), F.col("nid_b").alias("neighbor_id")
+    ).unionByName(
+        nid_pairs.select(
+            F.col("nid_b").alias("query_id"), F.col("nid_a").alias("neighbor_id")
+        )
+    )
+    qv = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        directed.join(qv, "query_id", "inner")
+        .join(cv, "neighbor_id", "inner")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col("qv", "cv"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -160,20 +200,33 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 13,
+    max_bucket_size: int = 2000,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold), the
     semantic-dedup detector: LSH-bucketed candidates + exact cosine verify,
-    emitting (id_a < id_b) edges ready for the same CC clustering."""
-    topk = lsh_topk(
-        embeddings, k=50, dim=dim, n_planes=n_planes, n_tables=n_tables,
-        id_col=id_col, vec_col=vec_col, seed=seed,
+    emitting (id_a < id_b) edges ready for the same CC clustering.
+
+    Threshold-filters ALL verified candidates — no top-k truncation, so a
+    node with hundreds of neighbors above threshold keeps every edge (the
+    old top-50 construction silently lost edges in dense clusters)."""
+    nid_pairs, _ = _ann_candidate_pairs(
+        embeddings, dim, n_planes, n_tables, id_col, vec_col, seed,
+        max_bucket_size, salt_buckets,
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("nid_a"), F.col(vec_col).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("nid_b"), F.col(vec_col).alias("vb")
     )
     return (
-        topk.filter(F.col("cosine") >= threshold)
+        nid_pairs.join(va, "nid_a", "inner")
+        .join(vb, "nid_b", "inner")
         .select(
-            F.least("query_id", "neighbor_id").alias("id_a"),
-            F.greatest("query_id", "neighbor_id").alias("id_b"),
-            "cosine",
+            F.col("nid_a").alias("id_a"),
+            F.col("nid_b").alias("id_b"),
+            F.round(cosine_col("va", "vb"), 6).alias("cosine"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine") >= threshold)
     )

@@ -71,6 +71,48 @@ def test_lsh_topk_high_recall_on_planted(spark):
     assert want <= got
 
 
+def test_near_dup_pairs_dense_cluster_recall(spark):
+    """A planted dense cluster (80 mutually-near vectors — every node has 79
+    neighbors above threshold, well past the old top-50 truncation) keeps
+    essentially all its edges: recall vs brute force >= 0.95, and nodes with
+    > 50 surviving edges must exist (the old k=50 construction capped every
+    node at 50)."""
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    dense = base + 0.01 * rng.standard_normal((80, 16))
+    background = rng.standard_normal((40, 16))
+    vecs = np.vstack([dense, background])
+    rows = [(i, vecs[i].tolist(), 0) for i in range(len(vecs))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    threshold = 0.99
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(norms @ norms.T, 6)
+    want = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if sims[i, j] >= threshold
+    }
+    assert len(want) > 2000  # genuinely dense: ~C(80,2) edges
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=threshold, dim=16).collect()
+    }
+    recall = len(want & got) / len(want)
+    assert recall >= 0.95, f"dense-cluster recall {recall:.4f}"
+    # no silent per-node truncation: some node keeps > 50 edges
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in got:
+        deg[a] += 1
+        deg[b] += 1
+    assert max(deg.values()) > 50
+
+
 def test_lsh_topk_reasonable_recall(spark):
     """LSH top-1 agrees with brute force on CLUSTERED data (true neighbors
     at cosine ~0.95 — the regime hyperplane LSH is designed for; random
