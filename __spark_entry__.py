@@ -49,6 +49,7 @@ from cargo_dupes_spark.operators.dedup import (
     normalized,
     with_exact_copies,
 )
+from cargo_dupes_spark.functions.segments import segment_paragraphs_sql
 from cargo_dupes_spark.functions.shingles import oracle_shingle_hash_sql
 from cargo_dupes_spark.operators.similarity import (
     brute_force_topk,
@@ -193,6 +194,18 @@ def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_doc_segments(spark: SparkSession, sf: str) -> DataFrame:
+    # N3 paragraph segmentation with exact char spans; the corpus has no
+    # natural separators, so breaks are planted deterministically (every
+    # ' table ' occurrence becomes a paragraph boundary on BOTH sides)
+    from cargo_dupes_spark.functions.segments import segment_paragraphs
+
+    docs = load_documents(spark, sf).select(
+        "doc_id", F.regexp_replace("text", " table ", "\n\n").alias("text")
+    )
+    return segment_paragraphs(docs).orderBy("doc_id", "seg_idx")
+
+
 def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_embeddings(spark, sf).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -298,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": dedup.near_dup_clusters,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "substring_containment_pairs": dedup.substring_containment_pairs,
+        "doc_segments": _q_doc_segments,
         "topk_cosine": _q_topk_cosine,
         "embedding_near_dups": _q_embedding_near_dups,
         "events_topk": _q_events_topk,
@@ -352,6 +366,16 @@ _NEAR_EDGES = f"""
           / len(list_distinct(list_concat(a.s, b.s))) >= {CFG.jaccard_threshold}
   )
 """
+
+
+_SEGMENTS_SQL = (
+    segment_paragraphs_sql(
+        "(select doc_id, "
+        "regexp_replace(text, ' table ', e'\\n\\n', 'g') as text "
+        "from documents)"
+    )
+    + " order by doc_id, seg_idx"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -497,13 +521,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             norm as (select doc_id, lang, {nt} as nt_ from docs)
             select least(a.doc_id, b.doc_id) as id_a,
-                   greatest(a.doc_id, b.doc_id) as id_b
+                   greatest(a.doc_id, b.doc_id) as id_b,
+                   case when contains(a.nt_, b.nt_)
+                        then strpos(a.nt_, b.nt_) - 1 else 0 end
+                     ::bigint as span_a_start,
+                   case when contains(a.nt_, b.nt_)
+                        then 0 else strpos(b.nt_, a.nt_) - 1 end
+                     ::bigint as span_b_start,
+                   least(length(a.nt_), length(b.nt_))::bigint as lcs_len
             from norm a join norm b
               on a.doc_id < b.doc_id and a.lang = b.lang
             where (contains(a.nt_, b.nt_) and length(b.nt_) >= {CFG.min_substring_len})
                or (contains(b.nt_, a.nt_) and length(a.nt_) >= {CFG.min_substring_len})
             order by id_a, id_b
         """,
+        "doc_segments": _SEGMENTS_SQL,
         "topk_cosine": """
             with q as (select vec_id, list_transform(embedding, x -> x::double) as embedding
                        from embeddings where vec_id < 20),

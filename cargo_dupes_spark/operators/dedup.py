@@ -257,23 +257,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def substring_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X1-X3] substring tier over the span-copy union. Oracle is the SQL
-    containment predicate — valid because every planted pair is a full
-    containment and unrelated docs share no >=L-char run (random text)."""
+    """[X1-X3] substring tier over the span-copy union, WITH span offsets.
+    Oracle is the SQL containment predicate + strpos — valid because every
+    planted pair is a full containment and unrelated docs share no >=L-char
+    run (random text): the GSA verify's lcs equals the contained text and
+    its first-occurrence offset equals strpos()-1."""
     from ..operators.substring import substring_candidates, verify_substring_pairs
 
     docs = normalized(with_span_copies(load_documents(spark, sf_dir)))
     fps = docs.select(
         F.col("doc_id").cast("string").alias("url"), "lang", "norm_text"
-    )
+    ).localCheckpoint()
     pairs, _ = substring_candidates(fps, CFG)
     edges = verify_substring_pairs(pairs, fps, CFG)
-    # full containment only (similarity == 1.0) to match the SQL predicate
+    la = F.col("url_a").cast("long")
+    lb = F.col("url_b").cast("long")
+    # url_a/url_b order is lexicographic on the string form; re-orient by
+    # numeric id and swap the spans alongside
     return (
         edges.filter(F.col("similarity") >= 0.999999)
         .select(
-            F.least(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_a"),
-            F.greatest(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_b"),
+            F.least(la, lb).alias("id_a"),
+            F.greatest(la, lb).alias("id_b"),
+            F.when(la <= lb, F.col("span_a_start"))
+            .otherwise(F.col("span_b_start"))
+            .alias("span_a_start"),
+            F.when(la <= lb, F.col("span_b_start"))
+            .otherwise(F.col("span_a_start"))
+            .alias("span_b_start"),
+            (F.col("span_a_end") - F.col("span_a_start")).alias("lcs_len"),
         )
         .orderBy("id_a", "id_b")
     )

@@ -111,6 +111,100 @@ def substring_candidates(
     return pairs_from_buckets(bucketed, cfg, "substring", urls=eligible)
 
 
+# ---------------------------------------------------------------------------
+# generalized suffix array (the BASELINE.json north_star's named structure):
+# built per candidate pair inside the verify pandas UDF — the distributed
+# shape is winnowing-for-candidates + GSA-for-verification, because a GLOBAL
+# suffix array over 100 TB of text cannot be built without an O(corpus)
+# shuffle per doubling round (log n rounds over every character), while
+# winnowed fingerprints shuffle ~2 % of corpus chars ONCE and the GSA then
+# runs on co-located candidate texts only (numbers in BASELINE.md).
+# ---------------------------------------------------------------------------
+
+
+def suffix_array(arr: np.ndarray) -> np.ndarray:
+    """Suffix array of an int array — Manber-Myers doubling, O(n log² n),
+    fully vectorized (lexsort per doubling round)."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.unique(arr, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    order = np.argsort(rank, kind="stable")
+    while True:
+        rank2 = np.full(n, -1, dtype=np.int64)
+        rank2[: n - k] = rank[k:]
+        order = np.lexsort((rank2, rank))
+        changed = (rank[order[1:]] != rank[order[:-1]]) | (
+            rank2[order[1:]] != rank2[order[:-1]]
+        )
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.concatenate(([0], np.cumsum(changed)))
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+
+
+def lcp_array(arr: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP: lcp[i] = |common prefix of suffixes sa[i-1], sa[i]|.
+    O(n) total work (the h counter only grows n times)."""
+    n = len(arr)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and arr[i + h] == arr[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring_span(
+    sa_text: str, sb_text: str, min_len: int
+) -> tuple[int, int, int]:
+    """(lcs_len, pos_a, pos_b) of the longest common substring, or (0,0,0)
+    if shorter than min_len. Positions are CHARACTER offsets (suffix array
+    runs over code points, not utf-8 bytes) of the FIRST occurrence in each
+    text — deterministic and equal to SQL strpos()-1, so the spans are
+    oracle-checkable. Analog of the reference's member line ranges
+    (dupes-core/src/code_unit.rs:41-55)."""
+    la, lb = len(sa_text), len(sb_text)
+    if min(la, lb) < min_len:
+        return 0, 0, 0
+    a = np.frombuffer(sa_text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    b = np.frombuffer(sb_text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    # sentinel below any code point separates the docs (never matches)
+    joined = np.concatenate([a, np.array([-1], dtype=np.int64), b])
+    sa = suffix_array(joined)
+    lcp = lcp_array(joined, sa)
+    # cross-document adjacent pairs: one suffix starts in a (< la), the
+    # other in b (> la). The max LCS is always achieved at such a pair.
+    side = sa > la  # True = suffix of b
+    cross = side[1:] != side[:-1]
+    if not cross.any():
+        return 0, 0, 0
+    cand = lcp[1:][cross]
+    best = int(cand.max())
+    if best < min_len:
+        return 0, 0, 0
+    # canonical spans: first occurrence in each text of the best substring.
+    # Of the adjacent cross pair, the a-side suffix (position < la; the
+    # sentinel at la can never carry lcp > 0) supplies the substring.
+    idx = int(np.flatnonzero(cross)[int(np.argmax(cand))]) + 1
+    start = int(sa[idx]) if sa[idx] < la else int(sa[idx - 1])
+    sub = sa_text[start : start + best]
+    return best, sa_text.find(sub), sb_text.find(sub)
+
+
 def _common_substring_len_at(
     a: np.ndarray, b: np.ndarray, length: int, a_str: bytes, b_str: bytes
 ) -> bool:
@@ -149,13 +243,28 @@ def longest_common_substring_len(sa: str, sb: str, min_len: int) -> int:
     return lo
 
 
+_SPAN_RESULT = T.StructType(
+    [
+        T.StructField("lcs_len", T.LongType()),
+        T.StructField("span_a_start", T.LongType()),
+        T.StructField("span_b_start", T.LongType()),
+    ]
+)
+
+
 def verify_substring_pairs(
     pairs: DataFrame, fingerprints: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
-    """Candidate pairs -> verified substring edges.
+    """Candidate pairs -> verified substring edges WITH span offsets.
 
-    similarity := lcs_len / min(len_a, len_b) — 1.0 means full containment
-    (doc B inside doc A), the shape of the reference's sub-unit duplicates.
+    A generalized suffix array over each candidate pair (suffix_array +
+    lcp_array above) yields the exact longest common substring and its
+    first-occurrence character offsets in both texts — the analog of the
+    reference's member line ranges (dupes-core/src/code_unit.rs:41-55,
+    SURVEY X3 span_a/span_b). similarity := lcs_len / min(len_a, len_b) in
+    CHARACTERS — 1.0 means full containment (doc B inside doc A), the shape
+    of the reference's sub-unit duplicates. Spans are half-open char ranges
+    [start, end) into norm_text.
     """
     texts_a = fingerprints.select(
         F.col("url").alias("url_a"), F.col("norm_text").alias("text_a")
@@ -166,19 +275,29 @@ def verify_substring_pairs(
     joined = pairs.join(texts_a, "url_a", "inner").join(texts_b, "url_b", "inner")
     min_len = cfg.min_substring_len
 
-    @F.pandas_udf(T.DoubleType())
-    def _lcs_sim(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    @F.pandas_udf(_SPAN_RESULT)
+    def _lcs_span(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
         out = []
         for sa, sb in zip(ta, tb):
-            sa = sa or ""
-            sb = sb or ""
-            lcs = longest_common_substring_len(sa, sb, min_len)
-            denom = min(len(sa.encode()), len(sb.encode()))
-            out.append(lcs / denom if lcs and denom else 0.0)
-        return pd.Series(out)
+            out.append(longest_common_substring_span(sa or "", sb or "", min_len))
+        return pd.DataFrame(
+            out, columns=["lcs_len", "span_a_start", "span_b_start"]
+        )
 
     return (
-        joined.withColumn("similarity", _lcs_sim("text_a", "text_b"))
-        .filter(F.col("similarity") > 0.0)
-        .select("url_a", "url_b", "tier", "similarity")
+        joined.withColumn("_s", _lcs_span("text_a", "text_b"))
+        .filter(F.col("_s.lcs_len") > 0)
+        .select(
+            "url_a",
+            "url_b",
+            "tier",
+            (
+                F.col("_s.lcs_len")
+                / F.least(F.length("text_a"), F.length("text_b"))
+            ).alias("similarity"),
+            F.col("_s.span_a_start").alias("span_a_start"),
+            (F.col("_s.span_a_start") + F.col("_s.lcs_len")).alias("span_a_end"),
+            F.col("_s.span_b_start").alias("span_b_start"),
+            (F.col("_s.span_b_start") + F.col("_s.lcs_len")).alias("span_b_end"),
+        )
     )

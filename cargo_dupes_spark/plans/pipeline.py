@@ -180,8 +180,12 @@ class Pipeline:
             )
             sub_cand = candidates.filter(F.col("tier") == "substring")
             if "substring" in self.detectors:
+                # substring edges carry span offsets (X3); near edges get
+                # NULL spans via allowMissingColumns
                 sub_edges = verify_substring_pairs(sub_cand, reps, cfg)
-                return near_edges.unionByName(sub_edges)
+                return near_edges.unionByName(
+                    sub_edges, allowMissingColumns=True
+                )
             return near_edges
 
         edges = self._stage("verified_edges", build_edges)

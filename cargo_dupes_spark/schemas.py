@@ -66,6 +66,13 @@ VERIFIED_EDGES = T.StructType(
         T.StructField("url_b", T.StringType(), False),
         T.StructField("tier", T.StringType(), False),
         T.StructField("similarity", T.DoubleType(), True),
+        # substring-tier only (NULL on near edges): half-open char spans of
+        # the longest common substring in each side's norm_text — the
+        # reference's member line ranges (code_unit.rs:41-55, SURVEY X3)
+        T.StructField("span_a_start", T.LongType(), True),
+        T.StructField("span_a_end", T.LongType(), True),
+        T.StructField("span_b_start", T.LongType(), True),
+        T.StructField("span_b_end", T.LongType(), True),
     ]
 )
 
