@@ -33,6 +33,10 @@ class PipelineConfig:
     # --- size gates (reference P3: parser.rs:66-72) ---
     min_tokens: int = 5
 
+    # --- extraction (P1/P2/P5: table-driven rules per content type,
+    # functions/extract.py EXTRACTION_RULES — the NodeMapping analog) ---
+    content_type: str = "text/html"
+
     # --- normalization (reference N1-N7) ---
     mask_numbers: bool = True
     mask_urls: bool = True
@@ -90,6 +94,13 @@ class PipelineConfig:
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
     def validate(self) -> "PipelineConfig":
+        from .functions.extract import EXTRACTION_RULES
+
+        if self.content_type not in EXTRACTION_RULES:
+            raise ValueError(
+                f"no extraction rules for {self.content_type!r}; "
+                f"known: {sorted(EXTRACTION_RULES)}"
+            )
         if self.lsh_bands * self.lsh_rows != self.num_perm:
             raise ValueError(
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "

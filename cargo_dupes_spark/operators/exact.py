@@ -58,19 +58,37 @@ def prepare_columns(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         with_html = df.filter(F.col("html").isNotNull()).select(
             "url",
             "lang",
-            extracted_text_col("html", "text").alias("extracted_text"),
+            extracted_text_col("html", "text", cfg.content_type).alias("_ex"),
+        ).select(
+            "url",
+            "lang",
+            F.col("_ex.extracted_text").alias("extracted_text"),
+            F.col("_ex.extract_error").alias("extract_error"),
         )
         pre_extracted = df.filter(F.col("html").isNull()).select(
-            "url", "lang", F.col("text").alias("extracted_text")
+            "url",
+            "lang",
+            F.col("text").alias("extracted_text"),
+            # S3 failure tagging for pre-extracted rows too: a row with
+            # neither html nor text is counted, never silently absorbed
+            F.when(F.col("text").isNull(), F.lit("no html and no text"))
+            .alias("extract_error"),
         )
         df = with_html.unionByName(pre_extracted)
     else:
-        df = df.select("url", "lang", F.col("text").alias("extracted_text"))
+        df = df.select(
+            "url",
+            "lang",
+            F.col("text").alias("extracted_text"),
+            F.when(F.col("text").isNull(), F.lit("no html and no text"))
+            .alias("extract_error"),
+        )
     df = df.select(
         "url",
         "lang",
         normalize_text_col("extracted_text", cfg).alias("norm_text"),
         F.length("extracted_text").cast("int").alias("n_chars"),
+        "extract_error",
     )
     df = df.select(
         "url",
@@ -80,6 +98,7 @@ def prepare_columns(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         n_tokens_col("norm_text").alias("n_tokens"),
         "n_chars",
         is_boilerplate_col("norm_text").alias("is_boilerplate"),
+        "extract_error",
     )
     return df
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
@@ -63,17 +63,46 @@ class Pipeline:
         self.detectors = detectors
         self.resume = resume
         self.stage_log: list[str] = []  # executed vs skipped, for tests
+        self._prev_rows: int | None = None  # lineage n_in chain
 
     # ------------------------------------------------------------------
     def _stage(self, name: str, build) -> DataFrame:
-        """Run-or-resume one stage: skip if committed under this config."""
+        """Run-or-resume one stage: skip if committed under this config.
+
+        Lineage contract (O6): per-partition n_out comes from the committed
+        parquet footers (no extra job); failure totals (n_failed +
+        error_sample) ride a write-time Observation over the stage's
+        ``extract_error`` column when present — the reference's warning
+        channel (lib.rs:50-66), computed INSIDE the write job so failure
+        accounting costs zero additional Spark jobs. n_in chains the
+        previous stage's committed row count.
+        """
         if self.resume and self.catalog.is_complete(name):
             self.stage_log.append(f"skip:{name}")
-            return self.catalog.read(name)
+            out = self.catalog.read(name)
+            self._prev_rows = None  # chain broken by skip; n_in unknown
+            return out
         t0 = time.monotonic()
         df = build()
+        obs = None
+        if "extract_error" in df.columns:
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("extract_error").isNotNull(), 1).otherwise(0)
+                ).alias("n_failed"),
+                F.max("extract_error").alias("error_sample"),
+            )
         out = self.catalog.checkpoint(df, name)
-        n_rows = self.catalog.record_lineage(out, name)
+        failed = obs.get if obs is not None else {}
+        n_rows = self.catalog.record_lineage(
+            out,
+            name,
+            n_in=self._prev_rows,
+            n_failed=failed.get("n_failed"),
+            error_sample=failed.get("error_sample"),
+        )
         self.catalog.record_metrics(
             name,
             {
@@ -82,6 +111,7 @@ class Pipeline:
             },
         )
         self.stage_log.append(f"run:{name}")
+        self._prev_rows = n_rows
         return out
 
     # ------------------------------------------------------------------

@@ -39,6 +39,9 @@ FINGERPRINTS = T.StructType(
         T.StructField("n_tokens", T.IntegerType(), True),
         T.StructField("n_chars", T.IntegerType(), True),
         T.StructField("is_boilerplate", T.BooleanType(), True),
+        # S3/O6: NULL on success; decode/extraction failures are tagged
+        # (never dropped) and counted into the stage lineage summary
+        T.StructField("extract_error", T.StringType(), True),
     ]
 )
 

@@ -47,13 +47,18 @@ class Catalog:
         warehouse: str,
         config_hash: str,
         run_id: str | None = None,
+        catalog_name: str = "local",
     ):
         self.spark = spark
         self.warehouse = Path(warehouse)
         self.warehouse.mkdir(parents=True, exist_ok=True)
         self.config_hash = config_hash
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.catalog_name = catalog_name
         self.iceberg = _iceberg_available(spark)
+
+    def table_ref(self, name: str) -> str:
+        return f"{self.catalog_name}.{name}"
 
     # ---- paths & metadata -------------------------------------------------
     def _path(self, name: str) -> Path:
@@ -66,7 +71,7 @@ class Catalog:
     def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         path = str(self._path(name))
         if self.iceberg:  # pragma: no cover - exercised only with the jar
-            df.writeTo(f"local.{name}").using("iceberg").createOrReplace()
+            df.writeTo(self.table_ref(name)).using("iceberg").createOrReplace()
         else:
             df.write.mode(mode).parquet(path)
         meta = {
@@ -78,8 +83,15 @@ class Catalog:
 
     def read(self, name: str) -> DataFrame:
         if self.iceberg:  # pragma: no cover
-            return self.spark.read.table(f"local.{name}")
+            return self.spark.read.table(self.table_ref(name))
         return self.spark.read.parquet(str(self._path(name)))
+
+    def exists(self, name: str) -> bool:
+        """Stage/table existence — catalog lookup under Iceberg, path probe
+        under the parquet fallback."""
+        if self.iceberg:  # pragma: no cover
+            return self.spark.catalog.tableExists(self.table_ref(name))
+        return self._path(name).exists()
 
     def checkpoint(self, df: DataFrame, name: str) -> DataFrame:
         """Write + read back: commits the stage AND cuts lineage (the
@@ -105,28 +117,80 @@ class Catalog:
         self._meta_path(name).unlink(missing_ok=True)
 
     # ---- lineage & metrics (append-only sinks) -----------------------------
-    def record_lineage(self, df: DataFrame, stage: str) -> int:
+    def _partition_counts_from_footers(self, name: str) -> list[tuple[int, int]] | None:
+        """(partition_id, n_rows) per committed part-file, read from parquet
+        FOOTERS driver-side — zero Spark jobs. Partition ids are the sorted
+        file order of the committed table (what downstream reads see)."""
+        import pyarrow.parquet as pq
+
+        path = self._path(name)
+        if not path.is_dir():
+            return None
+        files = sorted(path.glob("*.parquet"))
+        if not files:
+            return None
+        try:
+            return [
+                (i, pq.ParquetFile(f).metadata.num_rows)
+                for i, f in enumerate(files)
+            ]
+        except Exception:  # pragma: no cover - unreadable footer
+            return None
+
+    def record_lineage(
+        self,
+        df: DataFrame,
+        stage: str,
+        n_in: int | None = None,
+        n_failed: int | None = None,
+        error_sample: str | None = None,
+    ) -> int:
         """Per-partition row accounting for a stage output (O6 analog: the
         reference's warning channel, lib.rs:50-66, generalized to
         per-partition counts so silently-empty partitions are visible).
 
-        One Spark job (the per-partition count aggregate); the resulting
-        handful of rows — bounded by shuffle partitions, not data — is
-        appended driver-side, and the summed n_out is returned so callers
-        don't need a second count() job over the stage output.
+        Per-partition n_out comes from the committed parquet footers — NO
+        Spark job (the per-stage count job was a dominant fixed cost capping
+        strong-scaling efficiency); the Iceberg path falls back to one
+        aggregate job. A summary row (partition_id = -1) carries the stage
+        totals: n_in (rows consumed from the previous stage, NULL for the
+        first), n_failed and error_sample (from the write-time Observation
+        over the stage's error column — see Pipeline._stage).
+        Returns the summed n_out.
         """
-        counts = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("n_out"))
-            .collect()
-        )
+        counts = None if self.iceberg else self._partition_counts_from_footers(stage)
+        if counts is None:  # pragma: no cover - iceberg / non-parquet stage
+            counts = [
+                (int(r["partition_id"]), int(r["n_out"]))
+                for r in df.groupBy(
+                    F.spark_partition_id().alias("partition_id")
+                )
+                .agg(F.count(F.lit(1)).alias("n_out"))
+                .collect()
+            ]
+        total = sum(n for _, n in counts)
         rows = [
-            (self.run_id, stage, int(r["partition_id"]), None,
-             int(r["n_out"]), 0, None)
-            for r in counts
+            (self.run_id, stage, pid, None, n, None, None)
+            for pid, n in counts
         ]
+        rows.append(
+            (
+                self.run_id,
+                stage,
+                -1,
+                int(n_in) if n_in is not None else None,
+                total,
+                int(n_failed) if n_failed is not None else None,
+                error_sample,
+            )
+        )
         self._append_local(rows, "lineage", LINEAGE)
-        return sum(r["n_out"] for r in counts)
+        return total
+
+    def read_lineage(self) -> DataFrame:
+        if not self._path("lineage").exists():
+            return self.spark.createDataFrame([], LINEAGE)
+        return self.spark.read.parquet(str(self._path("lineage")))
 
     def record_metrics(self, stage: str, metrics: dict[str, float]) -> None:
         rows = [
@@ -136,9 +200,11 @@ class Catalog:
         self._append_local(rows, "metrics", METRICS)
 
     def read_metrics(self) -> DataFrame:
+        # metrics/lineage are driver-side parquet appends in BOTH modes
+        # (_append_local) — read them as parquet, not through the catalog
         if not self._path("metrics").exists():
             return self.spark.createDataFrame([], METRICS)
-        return self.read("metrics")
+        return self.spark.read.parquet(str(self._path("metrics")))
 
     def _append(self, df: DataFrame, name: str, schema) -> None:
         path = str(self._path(name))

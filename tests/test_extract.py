@@ -36,8 +36,46 @@ def test_corpus_byte_identical(spark, fixture_corpus):
     the per-url invariant, end-to-end through the pandas UDF."""
     df, _ = fixture_corpus
     mismatches = (
-        df.withColumn("ex", extracted_text_col("html", "text"))
+        df.withColumn("ex", extracted_text_col("html", "text").getField("extracted_text"))
         .filter(F.col("ex") != F.col("text"))
         .count()
     )
     assert mismatches == 0
+
+
+def test_rule_table_second_content_type():
+    """P5: the same UDF skeleton runs a different rule set (NodeMapping
+    analog) — markdown and plain-text rules, selected by content type."""
+    from cargo_dupes_spark.functions.extract import extract_text_err
+
+    md = (
+        "# Title\n\nsome **bold** and _em_ text with a "
+        "[link](http://x.example)\n\n```\ncode dropped\n```\ntail"
+    ).encode()
+    text, err = extract_text_err(md, None, "text/markdown")
+    assert err is None
+    assert text == "Title\nsome bold and em text with a link\ntail"
+    plain, _ = extract_text_err(b"keep <tags> as-is &amp; raw", None, "text/plain")
+    assert plain == "keep <tags> as-is &amp; raw"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no extraction rules"):
+        extract_text_err(b"x", None, "application/pdf")
+
+
+def test_decode_failure_tagged_not_dropped():
+    """Invalid utf-8 is extracted best-effort (byte-identical to a plain
+    errors='replace' decode) AND reported — the reference's never-silent
+    warning channel (lib.rs:50-66)."""
+    from cargo_dupes_spark.functions.extract import extract_text_err
+
+    bad = b"<html><body><p>ok \xff\xfe bytes</p></body></html>"
+    text, err = extract_text_err(bad, None)
+    assert text == extract_text(bad, None)  # still extracted
+    assert "ok" in text and "�" in text
+    assert err is not None and "utf8 decode" in err
+    # valid input: no error, unchanged behavior
+    good_text, good_err = extract_text_err(_wrap_html("fine"), None)
+    assert good_err is None and good_text == "fine"
+    # neither html nor text is counted too
+    assert extract_text_err(None, None) == (None, "no html and no text")

@@ -148,12 +148,53 @@ def test_resume_skips_and_matches(spark, tmp_path):
     assert out2["memberships"].count() == n1
 
 
-def test_lineage_and_metrics_written(pipeline_run):
+def test_lineage_and_metrics_written(spark, pipeline_run):
     cfg, df, corpus, out = pipeline_run
-    from cargo_dupes_spark.sources.catalog import Catalog
 
     # the pipeline's catalog wrote lineage/metrics parquet into the warehouse
     import glob
 
     assert glob.glob(f"{cfg.warehouse}/lineage/*.parquet")
     assert glob.glob(f"{cfg.warehouse}/metrics/*.parquet")
+
+    lineage = spark.read.parquet(f"{cfg.warehouse}/lineage")
+    # per-partition rows: n_out sums to the summary row's total per stage
+    fp = lineage.filter(F.col("stage") == "fingerprints")
+    summary = fp.filter(F.col("partition_id") == -1).collect()
+    assert len(summary) == 1
+    parts_total = (
+        fp.filter(F.col("partition_id") >= 0).agg(F.sum("n_out")).collect()[0][0]
+    )
+    assert summary[0]["n_out"] == parts_total == df.count()
+    assert summary[0]["n_failed"] == 0  # clean corpus
+    # n_in chains the previous stage's committed count
+    exact_summary = lineage.filter(
+        (F.col("stage") == "exact_memberships") & (F.col("partition_id") == -1)
+    ).collect()[0]
+    assert exact_summary["n_in"] == summary[0]["n_out"]
+
+
+def test_corrupt_html_counted_in_lineage(spark, tmp_path):
+    """The reference never drops a file silently (warning channel,
+    lib.rs:50-66): a corrupt html row is extracted best-effort AND counted
+    with an error sample in the fingerprints stage's lineage summary."""
+    cfg = PipelineConfig(warehouse=str(tmp_path / "wh_corrupt"))
+    df, _ = generate_web_pages(spark, n_unique=20, n_near_families=2)
+    corrupt = spark.createDataFrame(
+        [("http://bad.example/x", None, b"<p>broken \xff\xfe bytes</p>", None, "en")],
+        df.schema,
+    )
+    out = Pipeline(spark, cfg, detectors=("minhash",)).run(
+        df.unionByName(corrupt)
+    )
+    summary = (
+        spark.read.parquet(f"{cfg.warehouse}/lineage")
+        .filter((F.col("stage") == "fingerprints") & (F.col("partition_id") == -1))
+        .collect()[0]
+    )
+    assert summary["n_failed"] == 1
+    assert "utf8 decode" in summary["error_sample"]
+    # the row itself was NOT dropped by extraction (it's in the stage output)
+    fps = spark.read.parquet(f"{cfg.warehouse}/fingerprints")
+    row = fps.filter(F.col("url") == "http://bad.example/x").collect()
+    assert len(row) == 1 and "utf8 decode" in row[0]["extract_error"]
