@@ -4,8 +4,10 @@ The reference persists ignored group fingerprints in
 ``.dupes-ignore.toml`` (``dupes-core/src/ignore.rs:12-56``) with CRUD +
 staleness cleanup. Here the list is a small table in the warehouse
 (`ignore(fingerprint BIGINT, reason STRING)`), always broadcast when
-joined. With the Iceberg jar present the CRUD below becomes
-MERGE INTO / DELETE FROM; the parquet fallback rewrites the (tiny) table.
+joined. With the Iceberg jar present (catalog.iceberg) the CRUD runs as
+MERGE INTO / DELETE FROM row-level operations on the Iceberg table
+(exercised by tests/test_iceberg.py, jar-gated); the parquet fallback
+rewrites the (tiny) table.
 """
 
 from __future__ import annotations
@@ -19,8 +21,15 @@ from .catalog import Catalog
 TABLE = "ignore"
 
 
+def _ensure_iceberg_table(catalog: Catalog) -> None:  # pragma: no cover - jar
+    catalog.spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {catalog.table_ref(TABLE)} "
+        "(fingerprint BIGINT, reason STRING) USING iceberg"
+    )
+
+
 def load_ignore(catalog: Catalog) -> DataFrame:
-    if not (catalog.warehouse / TABLE).exists():
+    if not catalog.exists(TABLE):
         return catalog.spark.createDataFrame([], IGNORE)
     return catalog.read(TABLE)
 
@@ -38,20 +47,41 @@ def save_ignore(catalog: Catalog, df: DataFrame) -> None:
 def add_ignore(
     catalog: Catalog, fingerprint: int, reason: str | None = None
 ) -> bool:
-    """Insert-if-absent (``ignore.rs:66-78``). Returns False if present."""
-    cur = load_ignore(catalog)
-    if cur.filter(F.col("fingerprint") == fingerprint).limit(1).count() > 0:
+    """Insert-if-absent (``ignore.rs:66-78``). Returns False if present.
+
+    Iceberg path: MERGE INTO (atomic row-level insert-if-absent, no table
+    rewrite, concurrent-writer safe via snapshot commit)."""
+    if is_ignored(catalog, fingerprint):
         return False
+    if catalog.iceberg:  # pragma: no cover - requires the runtime jar
+        _ensure_iceberg_table(catalog)
+        catalog.spark.sql(
+            f"MERGE INTO {catalog.table_ref(TABLE)} t "
+            "USING (SELECT CAST(:fp AS BIGINT) AS fingerprint, "
+            "CAST(:reason AS STRING) AS reason) s "
+            "ON t.fingerprint = s.fingerprint "
+            "WHEN NOT MATCHED THEN INSERT *",
+            args={"fp": fingerprint, "reason": reason},
+        )
+        return True
+    cur = load_ignore(catalog)
     new = catalog.spark.createDataFrame([(fingerprint, reason)], IGNORE)
     save_ignore(catalog, cur.unionByName(new))
     return True
 
 
 def remove_ignore(catalog: Catalog, fingerprint: int) -> bool:
-    """Retain-filter removal (``ignore.rs:81-89``)."""
-    cur = load_ignore(catalog)
-    if cur.filter(F.col("fingerprint") == fingerprint).limit(1).count() == 0:
+    """Retain-filter removal (``ignore.rs:81-89``); DELETE FROM under
+    Iceberg."""
+    if not is_ignored(catalog, fingerprint):
         return False
+    if catalog.iceberg:  # pragma: no cover - requires the runtime jar
+        catalog.spark.sql(
+            f"DELETE FROM {catalog.table_ref(TABLE)} WHERE fingerprint = :fp",
+            args={"fp": fingerprint},
+        )
+        return True
+    cur = load_ignore(catalog)
     save_ignore(catalog, cur.filter(F.col("fingerprint") != fingerprint))
     return True
 
