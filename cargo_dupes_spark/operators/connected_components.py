@@ -87,11 +87,15 @@ def connected_components_ids(
 ) -> DataFrame:
     """edges(src BIGINT, dst BIGINT) -> (node BIGINT, component BIGINT)
     where component is the minimum node id in the node's component."""
+    # ONE Spark job per round: the convergence-fingerprint aggregate is the
+    # action that materializes the LAZY localCheckpoint (eager checkpointing
+    # plus a separate fingerprint job doubled the fixed per-round driver
+    # cost, a measured strong-scaling limiter on short rounds)
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.localCheckpoint(eager=False)
     prev_fp = _edge_fingerprint(cur)
     for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:
             break

@@ -111,6 +111,12 @@ def nid_pairs_from_buckets(
     salt = cfg.salt_buckets
     spark = bucketed.sparkSession
 
+    # PASS 1 keeps band_id for diagnostics (its shuffle carries partial
+    # counts only); PASS 2 groups on band_key ALONE — the 8-byte key is
+    # already distinct per band (band_id is an xxhash64 input everywhere it
+    # matters), and a cross-band key collision merely merges two buckets,
+    # adding candidates the verify step kills. Dropping band_id slims every
+    # row of the one heavy shuffle.
     sizes = bucketed.groupBy("band_id", "band_key").agg(
         F.count(F.lit(1)).alias("sz")
     )
@@ -128,12 +134,15 @@ def nid_pairs_from_buckets(
     )
     flagged = spark.createDataFrame(flagged_rows, FLAGGED_SCHEMA)
 
+    bucketed = bucketed.select("nid", "band_key")
     if flagged_rows:
+        # one row per band_key (a key shared by two flagged buckets — a
+        # 2^-64 collision — must not fan out the join; 'dropped' wins)
         adj = F.broadcast(
-            flagged.select("band_id", "band_key", "action")
+            flagged.groupBy("band_key").agg(F.min("action").alias("action"))
         )
         bucketed = (
-            bucketed.join(adj, ["band_id", "band_key"], "left")
+            bucketed.join(adj, ["band_key"], "left")
             .filter((F.col("action").isNull()) | (F.col("action") == "salted"))
             .withColumn(
                 "band_key",
@@ -150,8 +159,13 @@ def nid_pairs_from_buckets(
         )
 
     grouped = (
-        bucketed.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("nid")).alias("us"))
+        bucketed.groupBy("band_key")
+        # array_distinct on the SORTED members: a nid landing twice in one
+        # merged bucket (duplicate input rows or a key collision) must not
+        # produce self-pairs; distinct-on-sorted keeps the array sorted
+        .agg(
+            F.array_distinct(F.sort_array(F.collect_list("nid"))).alias("us")
+        )
         .withColumn("sz", F.size("us"))
         .filter(F.col("sz") > 1)
     )

@@ -127,9 +127,20 @@ def _ann_candidate_pairs(
         max_bucket_size=max_bucket_size, salt_buckets=salt_buckets
     )
     sketch = multi_table_sketch_udf(dim, n_planes, n_tables, seed)
-    bucketed = embeddings.select(
-        F.col(id_col).alias("nid"), sketch(F.col(vec_col)).alias("__keys")
-    ).select("nid", F.posexplode("__keys").alias("band_id", "band_key"))
+    bucketed = (
+        embeddings.select(
+            F.col(id_col).alias("nid"), sketch(F.col(vec_col)).alias("__keys")
+        )
+        .select("nid", F.posexplode("__keys").alias("band_id", "raw_key"))
+        # raw sketch keys span only 2^n_planes values — fold the table id in
+        # and widen to 64 bits so buckets never merge across tables (the
+        # pair generator groups on band_key alone)
+        .select(
+            "nid",
+            "band_id",
+            F.xxhash64("band_id", "raw_key").alias("band_key"),
+        )
+    )
     return nid_pairs_from_buckets(bucketed, cfg)
 
 
