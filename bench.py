@@ -255,13 +255,16 @@ def run_scaling(
 HEADLINE = (
     "exact_dup_groups",
     "minhash_near_pairs",
+    "simhash_hamming_pairs",
     "near_dup_clusters",
     "substring_containment_pairs",
+    "doc_segments",
     "dedup_stats",
     "quality_scores",
     "lang_id",
     "token_counts",
     "topk_cosine",
+    "embedding_near_dups",
     "events_topk",
 )
 

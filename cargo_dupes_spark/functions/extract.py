@@ -69,6 +69,25 @@ EXTRACTION_RULES: dict[str, ExtractionRules] = {
         ),
         unescape_entities=True,
     ),
+    # N7 "opaque node with a name" (MacroCall{name} analog,
+    # dupes-rust/src/normalizer/helpers.rs:15-31): embedded script/style
+    # blocks collapse to an opaque placeholder CARRYING THE TAG NAME
+    # (<script>/<style> tokens, same shape as the normalizer's <url>/<num>
+    # placeholders) — two docs differing only in script CONTENT become
+    # exact duplicates, like two call sites of the same macro. Kept as a
+    # separate rule set: the default text/html preserves the round-1
+    # byte-identity contract (fixtures assume scripts strip to nothing).
+    "text/html+opaque": ExtractionRules(
+        steps=(
+            (r"(?si)<(script|style)\b[^>]*>.*?</\1>", r" <\1> "),
+            (r"(?s)<!--.*?-->", " "),
+            (r"(?i)</(p|div|li|h[1-6]|title|tr)>|<br\s*/?>", "\n"),
+            # strip tags EXCEPT the bare <script>/<style> placeholders the
+            # first step just planted
+            (r"(?i)<(?!script>|style>)[^>]+>", " "),
+        ),
+        unescape_entities=True,
+    ),
     # markdown: drop fenced code, strip heading/emphasis markers, keep link
     # text, paragraph boundaries already literal newlines
     "text/markdown": ExtractionRules(

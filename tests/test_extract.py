@@ -63,6 +63,21 @@ def test_rule_table_second_content_type():
         extract_text_err(b"x", None, "application/pdf")
 
 
+def test_opaque_with_name_ruleset():
+    """N7: under text/html+opaque, a stripped script/style block leaves its
+    TAG NAME as an opaque placeholder token (MacroCall{name} analog) — two
+    docs differing only in script content extract identically."""
+    a = b"<html><body><p>same body</p><script>f(1)</script></body></html>"
+    b_ = b"<html><body><p>same body</p><script>g(2, 3)</script></body></html>"
+    ta = extract_text(a, None, "text/html+opaque")
+    tb = extract_text(b_, None, "text/html+opaque")
+    assert ta == tb == "same body\n<script>"
+    # style keeps its own name; default html rules still strip to nothing
+    c = b"<p>x</p><style>p{}</style>"
+    assert extract_text(c, None, "text/html+opaque") == "x\n<style>"
+    assert extract_text(c, None) == "x"
+
+
 def test_decode_failure_tagged_not_dropped():
     """Invalid utf-8 is extracted best-effort (byte-identical to a plain
     errors='replace' decode) AND reported — the reference's never-silent
