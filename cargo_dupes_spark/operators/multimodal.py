@@ -1,13 +1,22 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Training-data pipelines carry image/audio/video as `binary` columns with a
-metadata struct; the Spark-side plumbing (schema, partitioning, Arrow batch
-shape, UDF signatures) is real and tested here, while the codec step is
-STUBBED — the decode libraries (Pillow, ffmpeg, torchaudio) are not in this
-container. Each stub either raises NotImplementedError (strict mode) or
-produces a deterministic fake derived from the payload bytes (test mode),
-so downstream operators (dedup on perceptual hashes, feature joins) are
-exercised end-to-end.
+metadata struct. The Spark-side plumbing (schema, partitioning, Arrow batch
+shape, UDF signatures) is real and tested, and so are two codecs that need
+NOTHING beyond numpy + the stdlib:
+
+  * image/ppm  — binary P6 PPM parser -> (h, w, 3) uint8; features are a
+    16x16 block-mean profile and the phash is a REAL 64-bit average hash
+    (8x8 grayscale > mean — robust to uniform brightness shifts, tested).
+  * audio/wav  — stdlib ``wave`` PCM decode -> int16 samples; features are
+    32 windowed RMS energies and the phash is the 64-bit energy-vs-mean
+    bit profile.
+
+Codecs that genuinely require external libraries (video containers, jpeg,
+mp3: ffmpeg/Pillow are not in this environment) remain a DECLARED BOUNDARY:
+strict mode raises NotImplementedError; test mode derives a deterministic
+sha256 pseudo-feature so downstream operators (dedup on perceptual hashes,
+feature joins) stay exercised end-to-end.
 
 The reference analog is the `MacroCall{name}` opaque node
 (``dupes-rust/src/normalizer/helpers.rs:15-31``): an object we can't look
@@ -17,6 +26,8 @@ inside, carried with its name/metadata and still participating in hashing.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -58,10 +69,103 @@ FEATURE_SCHEMA = T.StructType(
 _FEATURE_DIM = 32
 
 
+# ---------------------------------------------------------------------------
+# real codecs (numpy + stdlib only)
+# ---------------------------------------------------------------------------
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 PPM bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM -> (h, w, 3) uint8. Raises ValueError on malformed
+    input (counted via extract-error-style accounting by callers)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (mono int16 samples, sample_rate) via stdlib wave."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n = f.getnframes()
+        raw = f.readframes(n)
+        ch = f.getnchannels()
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        x = np.frombuffer(raw, dtype=np.int16)
+        if ch > 1:
+            x = x.reshape(-1, ch).mean(axis=1).astype(np.int16)
+        return x, f.getframerate()
+
+
+def _block_mean(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Crop-to-multiple block-mean downsample (the no-deps resize kernel)."""
+    h, w = gray.shape
+    bh, bw = max(h // out_h, 1), max(w // out_w, 1)
+    cropped = gray[: bh * out_h, : bw * out_w]
+    if cropped.shape != (bh * out_h, bw * out_w):  # tiny images: pad by edge
+        cropped = np.pad(
+            gray,
+            ((0, max(bh * out_h - h, 0)), (0, max(bw * out_w - w, 0))),
+            mode="edge",
+        )[: bh * out_h, : bw * out_w]
+    return cropped.reshape(out_h, bh, out_w, bw).mean(axis=(1, 3))
+
+
+def _bits_to_i64(bits: np.ndarray) -> int:
+    ph = 0
+    for i, b in enumerate(bits.ravel()[:64]):
+        ph |= int(bool(b)) << i
+    return ph - (1 << 64) if ph >= (1 << 63) else ph
+
+
+def _image_features(img: np.ndarray) -> tuple[int, np.ndarray]:
+    """Real average-hash (8x8 gray > mean) + 32-dim block-mean profile."""
+    gray = img.mean(axis=2)
+    g8 = _block_mean(gray, 8, 8)
+    phash = _bits_to_i64(g8 > g8.mean())
+    g16 = _block_mean(gray, 16, 16)
+    feat = np.concatenate([g16.mean(axis=1), g16.mean(axis=0)]) / 255.0
+    return phash, feat.astype(np.float32)
+
+
+def _audio_features(x: np.ndarray) -> tuple[int, np.ndarray]:
+    """64-bit windowed-energy bit profile + 32-window RMS feature."""
+    if len(x) == 0:
+        return 0, np.zeros(_FEATURE_DIM, dtype=np.float32)
+    xf = x.astype(np.float64)
+    win = np.array_split(xf, 64)
+    e = np.array([float(np.mean(w * w)) if len(w) else 0.0 for w in win])
+    phash = _bits_to_i64(e > e.mean())
+    win32 = np.array_split(xf, _FEATURE_DIM)
+    rms = np.array([np.sqrt(np.mean(w * w)) if len(w) else 0.0 for w in win32])
+    peak = rms.max() or 1.0
+    return phash, (rms / peak).astype(np.float32)
+
+
 def _decode_stub(payload: bytes, media_type: str, strict: bool) -> np.ndarray:
-    """STUB for the real codec. Strict mode refuses (the honest boundary);
-    test mode derives a deterministic pseudo-feature from a sha256 of the
-    payload so plumbing is testable without codec libraries."""
+    """STUB for codecs that need external libraries (the declared
+    boundary). Strict mode refuses; test mode derives a deterministic
+    pseudo-feature from a sha256 of the payload so plumbing stays testable."""
     if strict:
         raise NotImplementedError(
             f"{media_type} decoding requires codec libraries not present in "
@@ -70,6 +174,20 @@ def _decode_stub(payload: bytes, media_type: str, strict: bool) -> np.ndarray:
     digest = hashlib.sha256(payload or b"").digest()
     raw = np.frombuffer((digest * ((_FEATURE_DIM * 4) // len(digest) + 1))[: _FEATURE_DIM * 4], dtype=np.uint32)
     return (raw.astype(np.float32) / np.float32(2**32)).astype(np.float32)
+
+
+def media_features(
+    payload: bytes, media_type: str, codec: str | None, strict: bool
+) -> tuple[int, np.ndarray]:
+    """(phash, feature) for one payload: REAL decode for image/ppm and
+    audio/wav; declared-boundary stub otherwise."""
+    if media_type == "image" and codec == "ppm":
+        return _image_features(decode_ppm(payload))
+    if media_type == "audio" and codec == "wav":
+        return _audio_features(decode_wav(payload)[0])
+    vec = _decode_stub(payload, media_type, strict)
+    bits = (vec[:64] > 0.5) if len(vec) >= 64 else (vec > 0.5)
+    return _bits_to_i64(np.asarray(bits)), vec
 
 
 def extract_features(
@@ -85,14 +203,16 @@ def extract_features(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats, phashes = [], []
-            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
-                vec = _decode_stub(payload, mtype, strict)
+            codecs = [
+                (m or {}).get("codec") if not isinstance(m, tuple) else m[3]
+                for m in pdf["meta"]
+            ]
+            for payload, mtype, codec in zip(
+                pdf["payload"], pdf["media_type"], codecs
+            ):
+                ph, vec = media_features(payload, mtype, codec, strict)
                 feats.append(vec.tolist())
-                bits = (vec[:64] > 0.5) if len(vec) >= 64 else (vec > 0.5)
-                ph = 0
-                for i, b in enumerate(bits):
-                    ph |= int(b) << i
-                phashes.append(ph - (1 << 64) if ph >= (1 << 63) else ph)
+                phashes.append(ph)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -106,21 +226,49 @@ def extract_features(
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: the schema/partition shape of a real resize, payload
-    replaced by a deterministic truncation (STUB — no image codec here)."""
+    """Resize: REAL block-mean resample + P6 re-encode for image/ppm rows;
+    other codecs keep the schema/partition plumbing with a deterministic
+    truncation (declared boundary — no jpeg/video codec here)."""
+
+    def _resize_one(payload: bytes | None, meta, mtype: str) -> bytes:
+        codec = (
+            (meta or {}).get("codec")
+            if not isinstance(meta, tuple)
+            else meta[3]
+        )
+        if payload and mtype == "image" and codec == "ppm":
+            img = decode_ppm(payload)
+            resized = np.stack(
+                [
+                    _block_mean(img[:, :, c].astype(np.float64), height, width)
+                    for c in range(3)
+                ],
+                axis=2,
+            )
+            return encode_ppm(np.clip(resized, 0, 255).astype(np.uint8))
+        return (payload or b"")[: max(64, width * height // 64)]
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
             out["payload"] = [
-                (p or b"")[: max(64, width * height // 64)] for p in pdf["payload"]
+                _resize_one(p, m, t)
+                for p, m, t in zip(pdf["payload"], pdf["meta"], pdf["media_type"])
             ]
             out["meta"] = [
                 {
                     "width": width,
                     "height": height,
-                    "duration_ms": (m or {}).get("duration_ms"),
-                    "codec": (m or {}).get("codec"),
+                    "duration_ms": (
+                        (m or {}).get("duration_ms")
+                        if not isinstance(m, tuple)
+                        else m[2]
+                    ),
+                    "codec": (
+                        (m or {}).get("codec")
+                        if not isinstance(m, tuple)
+                        else m[3]
+                    ),
                 }
                 for m in pdf["meta"]
             ]
@@ -142,9 +290,27 @@ def exact_media_dupes(features: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_wav(rng: np.random.Generator, n_samples: int = 4000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV (stdlib wave encoder)."""
+    t = np.arange(n_samples)
+    freq = float(rng.uniform(0.01, 0.2))
+    x = (10000 * np.sin(freq * t) + rng.normal(0, 500, n_samples)).astype(
+        np.int16
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table for tests (no external data).
-    Every third row duplicates the payload of the row before it."""
+    """Deterministic media table for tests (no external data): REAL P6 PPM
+    images and 16-bit WAV audio, plus raw-byte 'video' rows exercising the
+    declared-boundary stub. Every third row duplicates the payload of the
+    row before it (planted exact dups, same media_type)."""
     rng = np.random.default_rng(seed)
     rows = []
     payloads: list[bytes] = []
@@ -152,16 +318,24 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
         mtype = ("image", "audio", "video")[i % 3]
         if i % 6 == 5 and i >= 3:
             payload = payloads[i - 3]  # planted exact dup, same media_type
+        elif mtype == "image":
+            w, h = 32 + 8 * (i % 3), 24 + 8 * (i % 2)
+            payload = encode_ppm(
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            )
+        elif mtype == "audio":
+            payload = synthetic_wav(rng)
         else:
             payload = rng.bytes(256)
         payloads.append(payload)
+        codec = {"image": "ppm", "audio": "wav", "video": "raw"}[mtype]
         rows.append(
             (
                 i,
                 f"http://media.example/{mtype}/{i}",
                 mtype,
                 payload,
-                (64 * (i % 4 + 1), 48 * (i % 4 + 1), 1000 * (i % 7), "raw"),
+                (64 * (i % 4 + 1), 48 * (i % 4 + 1), 1000 * (i % 7), codec),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,17 +1,64 @@
-"""Multimodal plumbing: schemas, Arrow batch shape, stub boundaries."""
+"""Multimodal: real ppm/wav codecs, perceptual hashing, stub boundaries."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from cargo_dupes_spark.operators.multimodal import (
     FEATURE_SCHEMA,
+    _audio_features,
+    _image_features,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
     exact_media_dupes,
     extract_features,
     resize_stub,
     synthetic_media,
+    synthetic_wav,
 )
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"JFIF....")
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(4)
+    payload = synthetic_wav(rng, n_samples=2000)
+    x, rate = decode_wav(payload)
+    assert rate == 8000 and len(x) == 2000 and x.dtype == np.int16
+
+
+def test_average_hash_is_perceptual():
+    """aHash invariance: a uniform brightness shift keeps the hash; a
+    different image changes it."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(30, 200, size=(64, 64, 3), dtype=np.uint8)
+    ph, feat = _image_features(img)
+    brighter = np.clip(img.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+    ph2, _ = _image_features(brighter)
+    assert ph == ph2
+    other = rng.integers(30, 200, size=(64, 64, 3), dtype=np.uint8)
+    assert _image_features(other)[0] != ph
+    assert len(feat) == 32 and float(feat.max()) <= 1.0
+
+
+def test_audio_features_shape():
+    rng = np.random.default_rng(11)
+    x, _ = decode_wav(synthetic_wav(rng))
+    ph, feat = _audio_features(x)
+    assert len(feat) == 32 and abs(float(feat.max()) - 1.0) < 1e-9
+    # duplicate samples -> identical hash; different audio -> different
+    assert _audio_features(x)[0] == ph
+    y, _ = decode_wav(synthetic_wav(rng))
+    assert _audio_features(y)[0] != ph
 
 
 def test_feature_schema_and_determinism(spark):
@@ -43,7 +90,10 @@ def test_strict_mode_raises(spark):
 
 def test_resize_stub_shape(spark):
     media = synthetic_media(spark, n=9)
-    resized = resize_stub(media, 32, 24)
+    resized = resize_stub(media, 16, 12)
     assert resized.schema == media.schema
-    row = resized.first()
-    assert row.meta.width == 32 and row.meta.height == 24
+    rows = {r.media_id: r for r in resized.collect()}
+    assert rows[0].meta.width == 16 and rows[0].meta.height == 12
+    # image rows are REALLY resampled: valid P6 at the target geometry
+    img = decode_ppm(bytes(rows[0].payload))
+    assert img.shape == (12, 16, 3)
