@@ -293,6 +293,39 @@ def _q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # the second ANN scale path: k-means coarse quantizer (IVF) buckets +
+    # exact cosine re-rank. Rows-only (approximate by design; the exactness
+    # baseline topk_cosine carries the SQL oracle).
+    from cargo_dupes_spark.operators.similarity import ivf_topk
+
+    emb = load_embeddings(spark, sf).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = _embedding_dim(emb)
+    out = ivf_topk(emb, k=5, dim=dim, n_centroids=16, nprobe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    # F1 surfaced directly: oracle-reproducible 60-bit content fingerprint
+    # of norm_text per doc (the engine-portable twin of xxhash64(norm_text))
+    docs = load_documents(spark, sf)
+    return docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(normalize_text_col("text", CFG)), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("fp"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_docs": _q_normalize,
@@ -318,6 +351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exact_dupes": _q_media_dupes,  # rows-only (stubbed codec)
         "simhash_hamming_pairs": dedup.simhash_hamming_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate ANN)
+        "ann_ivf_topk": _q_ann_ivf_topk,  # rows-only (approximate ANN)
+        "doc_fingerprints": _q_doc_fingerprints,
     }
 
 
@@ -536,6 +571,11 @@ def oracle_sql() -> dict[str, str]:
             order by id_a, id_b
         """,
         "doc_segments": _SEGMENTS_SQL,
+        "doc_fingerprints": f"""
+            select doc_id,
+                   ('0x' || substring(md5({_NORM}), 1, 15))::bigint as fp
+            from documents order by doc_id
+        """,
         "topk_cosine": """
             with q as (select vec_id, list_transform(embedding, x -> x::double) as embedding
                        from embeddings where vec_id < 20),

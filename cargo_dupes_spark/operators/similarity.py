@@ -202,6 +202,129 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 17
+) -> np.ndarray:
+    """Lloyd's k-means on a driver-side SAMPLE (the standard IVF training
+    shape: the coarse quantizer is trained on ~10^4-10^5 sampled vectors
+    even for billion-vector indexes, then broadcast). Deterministic."""
+    rng = np.random.default_rng(seed)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int,
+    dim: int,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+    train_sample: int = 10_000,
+    max_bucket_size: int = 4000,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """IVF approximate top-k — the second ANN scale path (coarse-quantizer
+    bucketing, vs lsh_topk's hyperplane bucketing):
+
+      1. train k-means centroids on a driver-side sample (broadcast),
+      2. assign every vector to its nprobe nearest centroids (one Arrow
+         pass; multi-assignment replaces a separate query-time probe so the
+         all-pairs semantics stay symmetric),
+      3. candidates meet inside centroid buckets via the same
+         capped/salted/accounted pair machinery as every other tier,
+      4. exact cosine re-rank, window top-k.
+
+    At 10^12 docs the assignment is a single UDF pass over the corpus and
+    buckets shuffle 8-byte ids only; n_centroids scales with corpus size
+    (sqrt(n) rule of thumb) and nprobe trades recall for bucket fan-out."""
+    from ..config import PipelineConfig
+    from .lsh import nid_pairs_from_buckets
+
+    # orderBy before limit: TakeOrderedAndProject keeps the training sample
+    # deterministic across runs/partitionings (a bare limit() is not)
+    sample_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    if not sample_rows:
+        raise ValueError("embeddings table is empty")
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float32)
+    cent = _kmeans_centroids(
+        sample, min(n_centroids, len(sample)), seed=seed
+    )
+    nprobe_eff = min(nprobe, len(cent))
+    cent_t = cent.T.astype(np.float32)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ cent_t
+        top = np.argsort(-sims, axis=1)[:, :nprobe_eff]
+        return pd.Series(list(top.astype(np.int32)))
+
+    bucketed = (
+        embeddings.select(
+            F.col(id_col).alias("nid"), _assign(F.col(vec_col)).alias("__c")
+        )
+        .select("nid", F.posexplode("__c").alias("band_id", "centroid"))
+        .select(
+            "nid", "band_id", F.xxhash64("centroid").alias("band_key")
+        )
+    )
+    cfg = PipelineConfig(
+        max_bucket_size=max_bucket_size, salt_buckets=salt_buckets
+    )
+    nid_pairs, _ = nid_pairs_from_buckets(bucketed, cfg)
+    directed = nid_pairs.select(
+        F.col("nid_a").alias("query_id"), F.col("nid_b").alias("neighbor_id")
+    ).unionByName(
+        nid_pairs.select(
+            F.col("nid_b").alias("query_id"), F.col("nid_a").alias("neighbor_id")
+        )
+    )
+    qv = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        directed.join(qv, "query_id", "inner")
+        .join(cv, "neighbor_id", "inner")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,

@@ -43,14 +43,16 @@ def test_oracle_keys_subset():
     assert o <= q
     # every non-oracle query is documented as rows-only
     assert q - o == {
-        "media_exact_dupes",       # stubbed codec
+        "media_exact_dupes",       # video rows ride the declared-boundary stub
         "ann_lsh_topk",            # approximate by design (recall < 1)
+        "ann_ivf_topk",            # approximate by design (recall < 1)
     }
 
 
 ROWS_ONLY_SCHEMAS = {
     "media_exact_dupes": {"media_id", "media_type"},
     "ann_lsh_topk": {"query_id", "neighbor_id", "cosine_e6", "rank"},
+    "ann_ivf_topk": {"query_id", "neighbor_id", "cosine_e6", "rank"},
 }
 
 

@@ -113,6 +113,28 @@ def test_near_dup_pairs_dense_cluster_recall(spark):
     assert max(deg.values()) > 50
 
 
+def test_ivf_topk_recall_on_clustered(spark):
+    """IVF top-1 agrees with brute force on clustered data (neighbors share
+    a centroid by construction — the regime IVF is designed for)."""
+    from cargo_dupes_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((10, 16)) * 3
+    vecs = np.vstack(
+        [c + 0.2 * rng.standard_normal((6, 16)) for c in centers]
+    )
+    rows = [(i, vecs[i].tolist(), 0) for i in range(len(vecs))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    bf = brute_force_topk(df, df, k=1).collect()
+    iv = ivf_topk(df, k=1, dim=16, n_centroids=10, nprobe=2).collect()
+    bf_top = {r.query_id: r.neighbor_id for r in bf}
+    iv_top = {r.query_id: r.neighbor_id for r in iv}
+    hits = sum(1 for q, n in bf_top.items() if iv_top.get(q) == n)
+    assert hits / len(bf_top) >= 0.8
+
+
 def test_lsh_topk_reasonable_recall(spark):
     """LSH top-1 agrees with brute force on CLUSTERED data (true neighbors
     at cosine ~0.95 — the regime hyperplane LSH is designed for; random
