@@ -32,6 +32,15 @@ from cargo_dupes_spark.sources.ignore import (
 
 @pytest.fixture(scope="module")
 def iceberg_spark(tmp_path_factory):
+    # getOrCreate() on a JVM that already has an active session returns that
+    # session with OUR catalog confs silently ignored — and stopping it would
+    # kill the suite-wide `spark` fixture for every later test module. The
+    # catalog extensions must be set before the JVM's first catalog access
+    # anyway (module docstring), so this test only runs session-first.
+    if SparkSession.getActiveSession() is not None:
+        pytest.skip(
+            "iceberg test needs a fresh JVM (run this module standalone)"
+        )
     jar = os.environ.get("ICEBERG_SPARK_JAR")
     wh = str(tmp_path_factory.mktemp("iceberg_wh"))
     builder = (
