@@ -206,9 +206,16 @@ class Catalog:
             return self.spark.createDataFrame([], METRICS)
         return self.spark.read.parquet(str(self._path("metrics")))
 
-    def _append(self, df: DataFrame, name: str, schema) -> None:
-        path = str(self._path(name))
-        df.write.mode("append").parquet(path)
+    def append(self, df: DataFrame, name: str) -> None:
+        """Append-mode commit to a named table (Iceberg append snapshot /
+        parquet append) — the streaming state & dup sinks use this."""
+        if self.iceberg:  # pragma: no cover - exercised only with the jar
+            if self.spark.catalog.tableExists(self.table_ref(name)):
+                df.writeTo(self.table_ref(name)).append()
+            else:
+                df.writeTo(self.table_ref(name)).using("iceberg").create()
+        else:
+            df.write.mode("append").parquet(str(self._path(name)))
         self._write_meta_if_missing(name)
 
     def _append_local(self, rows: list[tuple], name: str, schema) -> None:

@@ -1,0 +1,110 @@
+"""Structured Streaming incremental dedup: two arrival waves, cross-wave
+exact-dup detection against accumulated state, checkpoint-based resume (the
+second query run must NOT reprocess wave-1 files), and watermarked windowed
+ingest stats."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from cargo_dupes_spark.config import PipelineConfig
+from cargo_dupes_spark.schemas import WEB_PAGES
+from cargo_dupes_spark.sources.catalog import Catalog
+from cargo_dupes_spark.streaming.incremental import (
+    incremental_exact_dedup,
+    load_stream_dups,
+    load_stream_state,
+    read_web_pages_stream,
+    windowed_doc_stats,
+)
+
+TS = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _pages(spark, rows):
+    data = [
+        (url, ts, None, text, lang) for (url, ts, text, lang) in rows
+    ]
+    return spark.createDataFrame(data, WEB_PAGES)
+
+
+WAVE1 = [
+    ("http://a.example/1", TS, "alpha beta gamma delta epsilon zeta one", "en"),
+    ("http://a.example/2", TS, "alpha beta gamma delta epsilon zeta one", "en"),
+    ("http://a.example/3", TS, "totally different content words here now two", "en"),
+]
+WAVE2 = [
+    # byte-identical to wave-1 url /1 -> cross-wave dup
+    ("http://b.example/9", TS, "alpha beta gamma delta epsilon zeta one", "en"),
+    ("http://b.example/10", TS, "fresh new never seen text in wave two", "en"),
+]
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    cfg = PipelineConfig(warehouse=str(tmp_path / "wh"))
+    catalog = Catalog(spark, cfg.warehouse, cfg.config_hash())
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    return cfg, catalog, str(drop_dir), ckpt
+
+
+def _drain(stream_df, catalog, cfg, ckpt):
+    q = incremental_exact_dedup(stream_df, catalog, cfg, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_incremental_dedup_two_waves(spark, stream_env):
+    cfg, catalog, drop_dir, ckpt = stream_env
+
+    _pages(spark, WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    state1 = {r.url for r in load_stream_state(catalog).collect()}
+    dups1 = {(r.url, r.matched_url) for r in load_stream_dups(catalog).collect()}
+    # in-batch dup: /2 matched to /1 (earliest url); state holds one row per fp
+    assert state1 == {"http://a.example/1", "http://a.example/3"}
+    assert dups1 == {("http://a.example/2", "http://a.example/1")}
+
+    _pages(spark, WAVE2).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    state2 = {r.url for r in load_stream_state(catalog).collect()}
+    dups2 = {(r.url, r.matched_url) for r in load_stream_dups(catalog).collect()}
+    # cross-wave dup detected against state; only the genuinely new doc
+    # entered state; wave-1 rows were NOT reprocessed (their dup row count
+    # is unchanged — checkpoint resume skipped the already-read file)
+    assert state2 == state1 | {"http://b.example/10"}
+    assert dups2 == dups1 | {("http://b.example/9", "http://a.example/1")}
+    # replay-safety: state reader collapses to one row per url
+    assert load_stream_state(catalog).count() == 3
+
+
+def test_windowed_doc_stats(spark, stream_env):
+    _, _, drop_dir, ckpt = stream_env
+    rows = [
+        ("u1", dt.datetime(2026, 1, 1, 12, 5), "aa bb cc dd ee ff", "en"),
+        ("u2", dt.datetime(2026, 1, 1, 12, 40), "gg hh ii jj kk ll", "en"),
+        ("u3", dt.datetime(2026, 1, 1, 13, 10), "mm nn oo pp qq rr", "de"),
+    ]
+    _pages(spark, rows).coalesce(1).write.mode("append").parquet(drop_dir)
+
+    out = windowed_doc_stats(read_web_pages_stream(spark, drop_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.hour, r.lang): r.n_docs
+        for r in spark.table("win_stats").collect()
+    }
+    assert got == {(12, "en"): 2, (13, "de"): 1}
