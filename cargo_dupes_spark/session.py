@@ -40,6 +40,15 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # partition by DATA SIZE, not core count: parallelism-first keeps
+        # shuffle_partitions tasks alive even when a stage moves 6 MB (each
+        # CC round paid ~32 near-empty tasks × 2 shuffles), while big
+        # shuffles still fan out to shuffle_partitions. Size-based targets
+        # hold at any cluster size: tiny stages coalesce to a task or two,
+        # heavy stages keep straggler slack.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", str(4 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # dedup work is CPU-heavy per byte (regex normalize, shingle windows,
         # sketch UDFs): 128 MB scan splits cap narrow stages over checkpoint
