@@ -240,10 +240,21 @@ def run_scaling(
         finally:
             gen.stop()
 
+        # INTERLEAVED levels (N, 4N, N, 4N, ...) with a calibration sample
+        # adjacent to every Spark run: the host's steal-like interference is
+        # sustained over minutes, so running all-N-then-all-4N lets one
+        # level soak a bad window the other never sees (observed as
+        # pure-CPU "ceilings" above 1.0 — physically meaningless).
+        # Interleaving gives both levels, and the calibration, the same
+        # exposure to the noise; best-of-repeats then estimates the
+        # achievable throughput at each level under comparable conditions.
         results: dict[int, list[dict]] = {}
-        for cpus in (base_cpus, base_cpus * 4):
-            runs = []
-            for _ in range(repeats):
+        hw: dict[int, float] = {}
+        for _ in range(repeats):
+            for cpus in (base_cpus, base_cpus * 4):
+                hw[cpus] = max(
+                    hw.get(cpus, 0.0), calibrate_cpu(cpus, repeats=1)
+                )
                 cmd = [
                     sys.executable, os.path.abspath(__file__),
                     "--pipeline-once", "--cpus", str(cpus),
@@ -260,19 +271,18 @@ def run_scaling(
                         f"pipeline-once at cpus={cpus} failed:\n"
                         f"{proc.stderr[-4000:]}"
                     )
-                runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
-            results[cpus] = runs
+                results.setdefault(cpus, []).append(
+                    json.loads(proc.stdout.strip().splitlines()[-1])
+                )
     finally:
         shutil.rmtree(input_dir, ignore_errors=True)
     best = {c: min(rs, key=lambda r: r["wall_s"]) for c, rs in results.items()}
     thr_n = best[base_cpus]["docs_per_sec"]
     thr_4n = best[base_cpus * 4]["docs_per_sec"]
     raw_eff = (thr_4n / thr_n) / 4.0
-    # 4 repeats, best-of (calibrate_cpu takes the max): the host shows
-    # intermittent steal-like slowdowns; a single depressed sample at the
-    # small level once produced a >1.0 "ceiling", which is meaningless
-    hw_n = calibrate_cpu(base_cpus, repeats=4)
-    hw_4n = calibrate_cpu(base_cpus * 4, repeats=4)
+    # final calibration samples folded into the per-run interleaved maxima
+    hw_n = max(hw[base_cpus], calibrate_cpu(base_cpus, repeats=1))
+    hw_4n = max(hw[base_cpus * 4], calibrate_cpu(base_cpus * 4, repeats=1))
     hw_ceiling = (hw_4n / hw_n) / 4.0
     return {
         "metric": "scaling_efficiency_Nx4",

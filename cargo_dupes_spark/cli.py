@@ -76,6 +76,16 @@ def _build_parser() -> argparse.ArgumentParser:
     sub.add_parser("ignored", help="list ignored fingerprints")
     cln = sub.add_parser("cleanup", help="drop stale ignore entries")
     cln.add_argument("--dry-run", action="store_true")
+
+    stm = sub.add_parser(
+        "stream",
+        help="incremental exact dedup over a web_pages parquet drop dir",
+    )
+    stm.add_argument("drop_dir", help="directory watched for parquet drops")
+    stm.add_argument("--checkpoint", default=None,
+                     help="streaming checkpoint dir (default <warehouse>/stream_ckpt)")
+    stm.add_argument("--follow", action="store_true",
+                     help="keep running (default: drain available files and exit)")
     return p
 
 
@@ -117,6 +127,30 @@ def main(argv: list[str] | None = None) -> int:
             for row in load_ignore(catalog).collect():
                 print(f"{row.fingerprint & ((1 << 64) - 1):016x}"
                       f"  {row.reason or ''}")
+            return 0
+
+        if cmd == "stream":
+            import os
+
+            from .streaming.incremental import (
+                incremental_exact_dedup,
+                load_stream_dups,
+                read_web_pages_stream,
+            )
+
+            ckpt = args.checkpoint or os.path.join(
+                cfg.warehouse, "stream_ckpt"
+            )
+            q = incremental_exact_dedup(
+                read_web_pages_stream(spark, args.drop_dir),
+                catalog,
+                cfg,
+                ckpt,
+                available_now=not args.follow,
+            )
+            q.awaitTermination()
+            n = load_stream_dups(catalog).count()
+            print(f"stream drained; {n} duplicate arrivals recorded")
             return 0
 
         # all remaining commands run (or resume) the analysis

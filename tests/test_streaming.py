@@ -84,6 +84,27 @@ def test_incremental_dedup_two_waves(spark, stream_env):
     assert load_stream_state(catalog).count() == 3
 
 
+def test_cli_stream_subcommand(spark, stream_env, tmp_path):
+    """`cli stream <dir>` drains available drops in a fresh process and
+    reports the duplicate-arrival count (wiring test for the O3 surface)."""
+    import subprocess
+    import sys
+
+    cfg, _, drop_dir, _ = stream_env
+    _pages(spark, WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "cargo_dupes_spark.cli",
+            "--warehouse", cfg.warehouse,
+            "--parallelism", "4",
+            "stream", drop_dir,
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "1 duplicate arrivals recorded" in proc.stdout
+
+
 def test_windowed_doc_stats(spark, stream_env):
     _, _, drop_dir, ckpt = stream_env
     rows = [
