@@ -56,6 +56,13 @@ def build_session(
         # ~2-4 splits per core at bench scale; a 1000-executor 100 TB run
         # has thousands of files and would raise this back toward 128-256 MB.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # zstd checkpoint tables: stage outputs are text-heavy (norm_text,
+        # shingles) and every stage boundary is a write+read — zstd's ~2x
+        # better ratio on text converts memory/IO bandwidth (the resource
+        # that does NOT scale with cores on this host — ~19 GB/s at any
+        # worker count) into compression CPU (which does), and is the
+        # standard codec for petabyte-scale parquet anyway
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
