@@ -27,14 +27,11 @@ from ..config import PipelineConfig
 from ..functions.simhash import simhash_chunk_col
 
 
-def minhash_bands(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """(url, band_id, band_key): one row per band per doc.
-
-    band_key folds lang + band_id + the band's signature slice into one
-    xxhash64 — JVM-side via a transform/posexplode over the signature array.
-    """
+def minhash_band_keys_col(cfg: PipelineConfig):
+    """ARRAY<BIGINT> of LSH band keys for one doc: band_key folds lang +
+    band_id + the band's signature slice into one xxhash64, JVM-side."""
     b, r = cfg.lsh_bands, cfg.lsh_rows
-    bands = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(b - 1)),
         # xxhash64 hashes the array column directly — no string join; the
         # minhash reference is a bound attribute, so no recompute per band
@@ -42,26 +39,47 @@ def minhash_bands(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.col("lang"), i, F.slice(F.col("minhash"), i * r + 1, r)
         ),
     )
+
+
+def simhash_chunk_keys_col(cfg: PipelineConfig):
+    """ARRAY<BIGINT> of SimHash bit-slice keys: pigeonhole guarantees any
+    pair with Hamming distance <= hamming_threshold shares >= 1 of the
+    cfg.simhash_chunks slices."""
+    n = cfg.simhash_chunks
+    return F.array(
+        *[
+            F.xxhash64(F.col("lang"), F.lit(i), simhash_chunk_col("simhash", i, n))
+            for i in range(n)
+        ]
+    )
+
+
+def minhash_bands(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(url, band_id, band_key): one row per band per doc.
+
+    When the input carries a precomputed ``band_keys`` column (the pipeline
+    stores one: 32 x 8 B vs re-deriving from the 1 KB minhash column on
+    EVERY candidate-stage scan — pair generation scans the table twice), it
+    is exploded directly; otherwise keys are derived on the fly.
+    """
+    bands = (
+        F.col("band_keys")
+        if "band_keys" in signatures.columns
+        else minhash_band_keys_col(cfg)
+    )
     return signatures.select(
         "url", F.posexplode(bands).alias("band_id", "band_key")
     )
 
 
 def simhash_buckets(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """(url, band_id, band_key) from SimHash bit-slices: pigeonhole
-    guarantees any pair with Hamming distance <= hamming_threshold shares at
-    least one of the cfg.simhash_chunks slices.
-
-    One posexplode over an array of chunk keys — a single scan of the input
-    (the previous n-way unioned selects re-evaluated the un-persisted
-    signature chain once per chunk), mirroring minhash_bands.
-    """
-    n = cfg.simhash_chunks
-    chunks = F.array(
-        *[
-            F.xxhash64(F.col("lang"), F.lit(i), simhash_chunk_col("simhash", i, n))
-            for i in range(n)
-        ]
+    """(url, band_id, band_key) from SimHash bit-slices (one posexplode —
+    a single scan of the input, mirroring minhash_bands), preferring a
+    precomputed ``chunk_keys`` column when present."""
+    chunks = (
+        F.col("chunk_keys")
+        if "chunk_keys" in signatures.columns
+        else simhash_chunk_keys_col(cfg)
     )
     return signatures.select(
         "url", F.posexplode(chunks).alias("band_id", "band_key")

@@ -152,13 +152,26 @@ class Pipeline:
                 want_minhash="minhash" in self.detectors,
                 want_simhash=True,
             )
-            return base.withColumn("_sig", sig(F.col("shingles"))).select(
+            from ..operators.lsh import (
+                minhash_band_keys_col,
+                simhash_chunk_keys_col,
+            )
+
+            out = base.withColumn("_sig", sig(F.col("shingles"))).select(
                 "url",
                 "lang",
                 "shingles",
                 F.col("_sig.minhash").alias("minhash"),
                 F.col("_sig.simhash").alias("simhash"),
             )
+            # store the LSH keys (32+4 x 8 B) next to the sketches: the
+            # candidate stage scans this table TWICE (bucket sizing + pair
+            # expansion) and needs only the keys — pruning the scan to
+            # band_keys instead of the 1 KB minhash column cuts its input
+            # bytes ~4x at every scale
+            if "minhash" in self.detectors:
+                out = out.withColumn("band_keys", minhash_band_keys_col(cfg))
+            return out.withColumn("chunk_keys", simhash_chunk_keys_col(cfg))
 
         signatures = self._stage("signatures", build_signatures)
 

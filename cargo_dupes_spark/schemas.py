@@ -52,6 +52,10 @@ SIGNATURES = T.StructType(
         T.StructField("shingles", T.ArrayType(T.LongType()), True),
         T.StructField("minhash", T.ArrayType(T.LongType()), True),
         T.StructField("simhash", T.LongType(), True),
+        # precomputed LSH keys: the candidate stage prunes its scans to
+        # these (32+4 x 8 B) instead of re-deriving from the 1 KB minhash
+        T.StructField("band_keys", T.ArrayType(T.LongType()), True),
+        T.StructField("chunk_keys", T.ArrayType(T.LongType()), True),
     ]
 )
 
