@@ -296,7 +296,11 @@ def run_scaling(
         # efficiency relative to that ceiling
         "hw_ceiling_eff": round(hw_ceiling, 4),
         "hw_tasks_per_sec": {str(base_cpus): hw_n, str(base_cpus * 4): hw_4n},
-        "normalized_eff": round(min(raw_eff / hw_ceiling, 1.0), 4)
+        # a measured ceiling > 1.0 is sampling noise (the host cannot scale
+        # super-linearly); clamp the NORMALIZER at 1.0 — the conservative
+        # direction, since dividing by >1 would penalize the job for the
+        # host speeding up mid-measurement
+        "normalized_eff": round(min(raw_eff / min(hw_ceiling, 1.0), 1.0), 4)
         if hw_ceiling > 0
         else None,
         "runs": {str(c): rs for c, rs in results.items()},
