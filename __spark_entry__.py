@@ -262,7 +262,16 @@ def _q_events_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_media_dupes(spark: SparkSession, sf: str) -> DataFrame:
-    # multimodal plumbing: synthetic media -> stub features -> exact phash dupes
+    # multimodal exact dedup: synthetic media (REAL P6 PPM + WAV codecs;
+    # video rows exercise the declared stub boundary) -> phash features ->
+    # exact dup groups. The planted structure is pure index arithmetic
+    # (multimodal.synthetic_media: row i with i%6==5 duplicates row i-3,
+    # always a video row since i%3==2), so group membership is
+    # SQL-oracle-checkable without decoding anything: group_id is the
+    # group's min media_id (the reference's exact-group contract,
+    # dupes-core/src/grouper.rs:61-90).
+    from pyspark.sql.window import Window
+
     from cargo_dupes_spark.operators.multimodal import (
         exact_media_dupes,
         extract_features,
@@ -271,7 +280,50 @@ def _q_media_dupes(spark: SparkSession, sf: str) -> DataFrame:
 
     media = synthetic_media(spark, n=96)
     feats = extract_features(media, strict=False)
-    return exact_media_dupes(feats).select("media_id", "media_type").orderBy("media_id")
+    w = Window.partitionBy("media_type", "group_fp")
+    return (
+        exact_media_dupes(feats)
+        .select(
+            "media_id",
+            "media_type",
+            F.min("media_id").over(w).alias("group_id"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _q_ann_planted_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # ANN recall oracle on PLANTED structure (VERDICT r2 #5): every vec_id
+    # < 1000 gets an exact copy at vec_id + 1_000_000 (cosine exactly 1.0).
+    # Identical vectors produce identical hyperplane sketches, so each
+    # planted pair collides in EVERY hash table; max_bucket_size exceeds
+    # the corpus so no bucket is ever salted/dropped -> candidate recall is
+    # 1 BY CONSTRUCTION and the planted pairs are a deterministic SQL
+    # oracle (same shape as embedding_near_dups' planting arithmetic).
+    from cargo_dupes_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = (
+        load_embeddings(spark, sf)
+        .filter(F.col("vec_id") < 1000)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(copies)
+    dim = _embedding_dim(emb)
+    pairs = embedding_near_dup_pairs(
+        both, threshold=0.999999, dim=dim, max_bucket_size=1_000_000
+    )
+    return (
+        pairs.filter(F.col("id_b") == F.col("id_a") + 1_000_000)
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
+        )
+        .orderBy("id_a")
+    )
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -348,10 +400,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": _q_topk_cosine,
         "embedding_near_dups": _q_embedding_near_dups,
         "events_topk": _q_events_topk,
-        "media_exact_dupes": _q_media_dupes,  # rows-only (stubbed codec)
+        # real PPM/WAV codecs (video = declared stub boundary); oracle over
+        # the planted-dup index arithmetic
+        "media_exact_dupes": _q_media_dupes,
         "simhash_hamming_pairs": dedup.simhash_hamming_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate ANN)
         "ann_ivf_topk": _q_ann_ivf_topk,  # rows-only (approximate ANN)
+        # planted exact-copy vectors: ANN recall 1 by construction, SQL oracle
+        "ann_planted_recall": _q_ann_planted_recall,
         "doc_fingerprints": _q_doc_fingerprints,
     }
 
@@ -615,6 +671,31 @@ def oracle_sql() -> dict[str, str]:
                                       order by value desc, event_id) as rnk
             from events qualify rnk <= 3 order by user_id, rnk
         """,
-        # media_exact_dupes: stub-codec features are not SQL-expressible ->
-        # rows-only driver check (documented weaker gate)
+        # media_exact_dupes: the features themselves are numpy-decoded, but
+        # the PLANTED group structure is pure index arithmetic
+        # (multimodal.synthetic_media n=96: row i with i%6==5 carries the
+        # exact payload of row i-3; i%3==2 makes both 'video' rows), so the
+        # (media_id, media_type, group_id=min id) contract is SQL-derivable
+        "media_exact_dupes": """
+            with planted as (
+              select unnest(range(96)) as i
+            ), dups as (select i from planted where i % 6 = 5)
+            select media_id, media_type, group_id from (
+              select (i - 3)::bigint as media_id, 'video' as media_type,
+                     (i - 3)::bigint as group_id from dups
+              union all
+              select i::bigint, 'video', (i - 3)::bigint from dups
+            ) order by media_id
+        """,
+        # ann_planted_recall: every vec_id < 1000 has an exact copy at
+        # vec_id + 1e6 (cosine exactly 1.0); the ANN candidate stage finds
+        # each pair in every hash table by construction, so the output IS
+        # the planting arithmetic
+        "ann_planted_recall": """
+            select vec_id::bigint as id_a,
+                   (vec_id + 1000000)::bigint as id_b,
+                   1000000::bigint as cosine_e6
+            from embeddings where vec_id < 1000
+            order by id_a
+        """,
     }

@@ -297,10 +297,16 @@ def run_scaling(
         "hw_ceiling_eff": round(hw_ceiling, 4),
         "hw_tasks_per_sec": {str(base_cpus): hw_n, str(base_cpus * 4): hw_4n},
         # a measured ceiling > 1.0 is sampling noise (the host cannot scale
-        # super-linearly); clamp the NORMALIZER at 1.0 — the conservative
-        # direction, since dividing by >1 would penalize the job for the
-        # host speeding up mid-measurement
+        # super-linearly). Clamping the normalizer at 1.0 can only RAISE the
+        # reported efficiency vs dividing by the measured ceiling (if
+        # calibration sampled a slow window, raw_eff is inflated and the
+        # clamp preserves that inflation) — so BOTH normalizations are
+        # emitted: normalized_eff (clamped, headline) and
+        # normalized_eff_unclamped (divided by the ceiling as measured).
         "normalized_eff": round(min(raw_eff / min(hw_ceiling, 1.0), 1.0), 4)
+        if hw_ceiling > 0
+        else None,
+        "normalized_eff_unclamped": round(min(raw_eff / hw_ceiling, 1.0), 4)
         if hw_ceiling > 0
         else None,
         "runs": {str(c): rs for c, rs in results.items()},

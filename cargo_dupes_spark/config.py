@@ -73,6 +73,12 @@ class PipelineConfig:
     max_bucket_size: int = 2000    # LSH band buckets above this are salted/split
     salt_buckets: int = 16
 
+    # --- streaming state layout ---
+    # stream_fps is hive/Iceberg-partitioned by pmod(fingerprint, N): the
+    # per-batch state probe prunes to the partitions the batch's own
+    # fingerprints can live in, instead of scanning the whole corpus state
+    stream_fp_buckets: int = 64
+
     # --- clustering ---
     cc_max_iterations: int = 50
 

@@ -129,14 +129,15 @@ def nid_pairs_from_buckets(
     salt = cfg.salt_buckets
     spark = bucketed.sparkSession
 
-    # PASS 1 keeps band_id for diagnostics (its shuffle carries partial
-    # counts only); PASS 2 groups on band_key ALONE — the 8-byte key is
-    # already distinct per band (band_id is an xxhash64 input everywhere it
-    # matters), and a cross-band key collision merely merges two buckets,
-    # adding candidates the verify step kills. Dropping band_id slims every
-    # row of the one heavy shuffle.
-    sizes = bucketed.groupBy("band_id", "band_key").agg(
-        F.count(F.lit(1)).alias("sz")
+    # PASS 1 sizes on band_key ALONE — the SAME key PASS 2 groups on. A
+    # caller whose band_key repeats across band_ids (IVF: band_key =
+    # xxhash64(centroid) for every probe rank) would otherwise see a hot
+    # bucket undercounted per (band_id, band_key) and slip past the cap
+    # into an unbounded collect_list. band_id survives as a min() diagnostic
+    # in the flagged accounting; text tiers fold band_id into the xxhash64
+    # key so for them the two groupings are identical anyway.
+    sizes = bucketed.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("band_id").alias("band_id")
     )
     flagged_rows = (
         sizes.filter(F.col("sz") > cap)

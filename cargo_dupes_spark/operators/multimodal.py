@@ -78,27 +78,60 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+def _ppm_token(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Next header token, skipping whitespace AND '#' comment lines (netpbm
+    spec allows comments anywhere whitespace can appear in the header)."""
+    while pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("unterminated PPM header comment")
+            pos = nl + 1
+        else:
+            break
+    start = pos
+    while (
+        pos < len(payload)
+        and not payload[pos : pos + 1].isspace()
+        and payload[pos : pos + 1] != b"#"
+    ):
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated PPM header")
+    return payload[start:pos], pos
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary P6 PPM -> (h, w, 3) uint8. Raises ValueError on malformed
-    input (counted via extract-error-style accounting by callers)."""
+    """Binary P6 PPM -> (h, w, 3) uint8. Raises ValueError on ANY malformed
+    input — comments handled, CRLF after maxval handled, truncated pixel
+    data detected — so a foreign-but-valid file decodes and a broken one is
+    counted by the caller's error accounting, never silently mis-hashed."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
-    # header: magic, width, height, maxval — whitespace separated
-    fields: list[bytes] = []
     pos = 2
+    fields: list[bytes] = []
     while len(fields) < 3:
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
-            pos += 1
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        if start == pos:
-            raise ValueError("truncated PPM header")
-        fields.append(payload[start:pos])
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = (int(f) for f in fields)
+        tok, pos = _ppm_token(payload, pos)
+        fields.append(tok)
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError as e:
+        raise ValueError(f"malformed PPM header fields {fields!r}") from e
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    # exactly ONE whitespace char after maxval per spec (pixel bytes may
+    # legally look like whitespace, so no loop) — but tolerate a CRLF pair,
+    # the one sequence real foreign writers emit
+    if pos >= len(payload) or not payload[pos : pos + 1].isspace():
+        raise ValueError("expected whitespace after PPM maxval")
+    pos += 2 if payload[pos : pos + 2] == b"\r\n" else 1
+    if len(payload) - pos < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return data.reshape(h, w, 3)
 

@@ -113,12 +113,17 @@ def substring_candidates(
 
 # ---------------------------------------------------------------------------
 # generalized suffix array (the BASELINE.json north_star's named structure):
-# built per candidate pair inside the verify pandas UDF — the distributed
-# shape is winnowing-for-candidates + GSA-for-verification, because a GLOBAL
-# suffix array over 100 TB of text cannot be built without an O(corpus)
-# shuffle per doubling round (log n rounds over every character), while
-# winnowed fingerprints shuffle ~2 % of corpus chars ONCE and the GSA then
-# runs on co-located candidate texts only (numbers in BASELINE.md).
+# the distributed shape is winnowing-for-candidates + per-pair verification,
+# because a GLOBAL suffix array over 100 TB of text cannot be built without
+# an O(corpus) shuffle per doubling round (log n rounds over every
+# character), while winnowed fingerprints shuffle ~2 % of corpus chars ONCE
+# and verification runs on co-located candidate texts only (BASELINE.md).
+# suffix_array + lcp_array are the GSA reference implementation of that
+# verification; the HOT PATH (verify_substring_pairs) uses the vectorized
+# rolling-hash binary search instead (longest_common_substring_span) — same
+# exact answer, no per-char interpreter loop (Kasai's h-counter walk cost
+# ~100x a numpy kernel per pair; round-2 bench doubled on it). Tests pin the
+# two implementations against each other and against an O(nm) DP oracle.
 # ---------------------------------------------------------------------------
 
 
@@ -168,75 +173,86 @@ def lcp_array(arr: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
+def _first_common_kgram(
+    a: np.ndarray, b: np.ndarray, length: int
+) -> tuple[int, int] | None:
+    """Smallest i (plus one matching j) with a[i:i+length] == b[j:j+length],
+    or None. Vectorized throughout: rolling hashes of every k-gram on both
+    sides, sort+searchsorted to align them, then a LITERAL confirmation of
+    the hash hit (no false positives at 64-bit collisions). The Python loop
+    below runs once per *false* collision — i.e. effectively never; the
+    first flagged (i, j) confirms immediately on real matches."""
+    ha = _kgram_hashes(a, length)
+    hb = _kgram_hashes(b, length)
+    if len(ha) == 0 or len(hb) == 0:
+        return None
+    order = np.argsort(hb, kind="stable")
+    hb_sorted = hb[order]
+    lo = np.searchsorted(hb_sorted, ha, side="left")
+    hi = np.searchsorted(hb_sorted, ha, side="right")
+    for i in np.flatnonzero(lo < hi):  # ascending i
+        for p in range(int(lo[i]), int(hi[i])):
+            j = int(order[p])
+            if np.array_equal(a[i : i + length], b[j : j + length]):
+                return int(i), j
+    return None
+
+
 def longest_common_substring_span(
     sa_text: str, sb_text: str, min_len: int
 ) -> tuple[int, int, int]:
     """(lcs_len, pos_a, pos_b) of the longest common substring, or (0,0,0)
-    if shorter than min_len. Positions are CHARACTER offsets (suffix array
+    if shorter than min_len. Positions are CHARACTER offsets (the kernel
     runs over code points, not utf-8 bytes) of the FIRST occurrence in each
     text — deterministic and equal to SQL strpos()-1, so the spans are
     oracle-checkable. Analog of the reference's member line ranges
-    (dupes-core/src/code_unit.rs:41-55)."""
+    (dupes-core/src/code_unit.rs:41-55).
+
+    Kernel: binary search over the length with the vectorized rolling-hash
+    matcher (_first_common_kgram) — O(n log² n) in numpy ops, replacing the
+    per-pair pure-Python Kasai LCP loop whose interpreter constant made the
+    verify stage ~2x the whole substring query (round-2 bench). The GSA
+    formulation (suffix_array + lcp_array below) is retained as the
+    reference implementation and cross-checked against this kernel in
+    tests/test_substring.py. Among equal-length longest substrings the one
+    whose first occurrence in `sa_text` is earliest wins; pos_b is the
+    first occurrence in `sb_text` of that exact substring."""
     la, lb = len(sa_text), len(sb_text)
-    if min(la, lb) < min_len:
+    if min(la, lb) < min_len or min_len <= 0:
         return 0, 0, 0
-    a = np.frombuffer(sa_text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    b = np.frombuffer(sb_text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    # sentinel below any code point separates the docs (never matches)
-    joined = np.concatenate([a, np.array([-1], dtype=np.int64), b])
-    sa = suffix_array(joined)
-    lcp = lcp_array(joined, sa)
-    # cross-document adjacent pairs: one suffix starts in a (< la), the
-    # other in b (> la). The max LCS is always achieved at such a pair.
-    side = sa > la  # True = suffix of b
-    cross = side[1:] != side[:-1]
-    if not cross.any():
+    a = np.frombuffer(sa_text.encode("utf-32-le"), dtype=np.uint32)
+    b = np.frombuffer(sb_text.encode("utf-32-le"), dtype=np.uint32)
+    best = _first_common_kgram(a, b, min_len)
+    if best is None:
         return 0, 0, 0
-    cand = lcp[1:][cross]
-    best = int(cand.max())
-    if best < min_len:
-        return 0, 0, 0
-    # canonical spans: first occurrence in each text of the best substring.
-    # Of the adjacent cross pair, the a-side suffix (position < la; the
-    # sentinel at la can never carry lcp > 0) supplies the substring.
-    idx = int(np.flatnonzero(cross)[int(np.argmax(cand))]) + 1
-    start = int(sa[idx]) if sa[idx] < la else int(sa[idx - 1])
-    sub = sa_text[start : start + best]
-    return best, sa_text.find(sub), sb_text.find(sub)
-
-
-def _common_substring_len_at(
-    a: np.ndarray, b: np.ndarray, length: int, a_str: bytes, b_str: bytes
-) -> bool:
-    """Is there a common substring of exactly `length`? Hash-bucket then
-    literal confirmation (no hash-collision false positives)."""
-    ha = _kgram_hashes(a, length)
-    hb = _kgram_hashes(b, length)
-    if len(ha) == 0 or len(hb) == 0:
-        return False
-    table: dict[int, list[int]] = {}
-    for i, h in enumerate(ha):
-        table.setdefault(int(h), []).append(i)
-    for j, h in enumerate(hb):
-        for i in table.get(int(h), ()):
-            if a_str[i : i + length] == b_str[j : j + length]:
-                return True
-    return False
+    lo, hi = min_len, min(la, lb)
+    # invariant: a common substring of length lo exists, witnessed by best
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        m = _first_common_kgram(a, b, mid)
+        if m is not None:
+            lo, best = mid, m
+        else:
+            hi = mid - 1
+    # best[0] is the minimal matching position in a: any earlier occurrence
+    # of the winning substring would itself match b, so it IS a.find(sub)
+    start = best[0]
+    sub = sa_text[start : start + lo]
+    return lo, start, sb_text.find(sub)
 
 
 def longest_common_substring_len(sa: str, sb: str, min_len: int) -> int:
-    """Exact LCS length if >= min_len else 0 — binary search over length."""
-    a_str = sa.encode("utf-8")
-    b_str = sb.encode("utf-8")
-    a = np.frombuffer(a_str, dtype=np.uint8)
-    b = np.frombuffer(b_str, dtype=np.uint8)
+    """Exact LCS length (in code points) if >= min_len else 0 — the same
+    vectorized binary search as longest_common_substring_span, positions
+    discarded."""
+    a = np.frombuffer(sa.encode("utf-32-le"), dtype=np.uint32)
+    b = np.frombuffer(sb.encode("utf-32-le"), dtype=np.uint32)
     lo, hi = min_len, min(len(a), len(b))
-    if hi < lo or not _common_substring_len_at(a, b, lo, a_str, b_str):
+    if hi < lo or _first_common_kgram(a, b, lo) is None:
         return 0
-    # invariant: common substring of length lo exists
     while lo < hi:
         mid = (lo + hi + 1) // 2
-        if _common_substring_len_at(a, b, mid, a_str, b_str):
+        if _first_common_kgram(a, b, mid) is not None:
             lo = mid
         else:
             hi = mid - 1
@@ -257,10 +273,11 @@ def verify_substring_pairs(
 ) -> DataFrame:
     """Candidate pairs -> verified substring edges WITH span offsets.
 
-    A generalized suffix array over each candidate pair (suffix_array +
-    lcp_array above) yields the exact longest common substring and its
-    first-occurrence character offsets in both texts — the analog of the
-    reference's member line ranges (dupes-core/src/code_unit.rs:41-55,
+    The vectorized rolling-hash binary search (longest_common_substring_span;
+    GSA-equivalent, see the block comment above) yields the exact longest
+    common substring and its first-occurrence character offsets in both
+    texts — the analog of the reference's member line ranges
+    (dupes-core/src/code_unit.rs:41-55,
     SURVEY X3 span_a/span_b). similarity := lcs_len / min(len_a, len_b) in
     CHARACTERS — 1.0 means full containment (doc B inside doc A), the shape
     of the reference's sub-unit duplicates. Spans are half-open char ranges

@@ -26,21 +26,37 @@ def verify_pairs(
 ) -> DataFrame:
     """(url_a, url_b, tier) -> verified edges with exact similarity.
 
-    At scale both joins shuffle on url (string key); the signatures side is
-    the big one, so pairs are joined INTO it rather than collected. AQE
-    handles residual skew (hot urls appear in many pairs).
+    Both joins key on nid = xxhash64(url) — the same 8-byte surrogate
+    discipline as the candidate stage (operators/lsh.py): the signatures
+    side is the big one and shuffles/probes on a BIGINT instead of a url
+    string. nid collisions (two urls hashing alike would attach a foreign
+    shingle row) are neutralized by a post-join url equality filter — the
+    true row always survives it. Pairs are joined INTO the signatures side
+    rather than collected; AQE handles residual skew (hot urls appear in
+    many pairs).
     """
     sig_a = signatures.select(
-        F.col("url").alias("url_a"),
+        F.xxhash64("url").alias("nid_a"),
+        F.col("url").alias("_sig_url_a"),
         F.col("shingles").alias("shingles_a"),
         F.col("simhash").alias("simhash_a"),
     )
     sig_b = signatures.select(
-        F.col("url").alias("url_b"),
+        F.xxhash64("url").alias("nid_b"),
+        F.col("url").alias("_sig_url_b"),
         F.col("shingles").alias("shingles_b"),
         F.col("simhash").alias("simhash_b"),
     )
-    joined = pairs.join(sig_a, "url_a", "inner").join(sig_b, "url_b", "inner")
+    joined = (
+        pairs.withColumn("nid_a", F.xxhash64("url_a"))
+        .withColumn("nid_b", F.xxhash64("url_b"))
+        .join(sig_a, "nid_a", "inner")
+        .join(sig_b, "nid_b", "inner")
+        .filter(
+            (F.col("url_a") == F.col("_sig_url_a"))
+            & (F.col("url_b") == F.col("_sig_url_b"))
+        )
+    )
 
     # Hamming prefilter only constrains simhash-tier candidates
     joined = joined.filter(

@@ -206,16 +206,28 @@ class Catalog:
             return self.spark.createDataFrame([], METRICS)
         return self.spark.read.parquet(str(self._path("metrics")))
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
         """Append-mode commit to a named table (Iceberg append snapshot /
-        parquet append) — the streaming state & dup sinks use this."""
+        parquet append) — the streaming state & dup sinks use this.
+
+        partition_by lays the table out hive-partitioned (Iceberg: identity
+        partition spec) on the given columns so later reads filtered on them
+        prune whole partitions — the streaming state probe depends on it."""
         if self.iceberg:  # pragma: no cover - exercised only with the jar
             if self.spark.catalog.tableExists(self.table_ref(name)):
                 df.writeTo(self.table_ref(name)).append()
             else:
-                df.writeTo(self.table_ref(name)).using("iceberg").create()
+                w = df.writeTo(self.table_ref(name)).using("iceberg")
+                if partition_by:
+                    w = w.partitionedBy(*[F.col(c) for c in partition_by])
+                w.create()
         else:
-            df.write.mode("append").parquet(str(self._path(name)))
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(str(self._path(name)))
         self._write_meta_if_missing(name)
 
     def _append_local(self, rows: list[tuple], name: str, schema) -> None:

@@ -14,26 +14,32 @@ re-scanning the corpus. This module is that incremental path:
     fingerprint state table for hits, append new fingerprints to state and
     dup memberships to the output table. State lives in the Catalog
     (Iceberg/parquet), NOT in executor memory: state size is
-    corpus-bounded, so it belongs in a table joined per-batch — at 10^12
-    docs the probe is a shuffled join of |batch| against the state table,
-    pruned by the fp partitioning, not an in-memory map.
+    corpus-bounded, so it belongs in a table joined per-batch. The state
+    table is PARTITIONED by fp_bucket = pmod(fingerprint, N)
+    (cfg.stream_fp_buckets): the probe reads only the partitions the
+    batch's own fingerprints can live in (``pruned_state`` — partition
+    pruning, not a full-state scan), so per-batch probe IO is bounded by
+    |batch's buckets| / N of the state, not O(corpus).
   * ``windowed_doc_stats`` — watermark + windowed aggregation (late-data
     tolerant ingest monitoring: docs/tokens per lang per window).
 
 Exactly-once notes: the streaming checkpoint (``checkpointLocation``) makes
 the file source replay a failed batch; the state/membership appends are
-at-least-once under replay. Appends therefore carry ``batch_id`` and both
-readers dedup on it — ``load_stream_state`` keeps one row per (url) and
-``load_stream_dups`` one per (url, matched_url) — turning replayed appends
-into no-ops at read time (the parquet-fallback analog of an Iceberg
-MERGE-on-batch-id).
+at-least-once under replay. Replays are no-ops by construction: a replayed
+batch's first-seen urls are already in state, so (a) the self-match filter
+(url != matched_url) keeps them out of the dup stream and (b) the anti-join
+against state keeps them out of the state append — the re-append is
+provably EMPTY, so state stays one row per url without any read-time window
+dedup. Residual insurance (a crash between the two appends re-committing
+identical rows) is a full-row dropDuplicates at read: replayed rows carry
+the SAME batch_id, so duplicates are exact-row duplicates and the dedup is
+deterministic. ``load_stream_dups`` likewise dedups on (url, matched_url).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..config import PipelineConfig
 from ..operators.exact import apply_gates, prepare_columns
@@ -94,7 +100,11 @@ def incremental_exact_dedup(
     spark = stream.sparkSession
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        fps = _fingerprint_batch(batch, cfg)
+        # localCheckpoint: the fingerprint UDF chain is referenced by four
+        # downstream plans (first-seen, dups, state probe, bucket collect) —
+        # materialize the batch-sized frame once instead of re-normalizing
+        # the batch per consumer
+        fps = _fingerprint_batch(batch, cfg).localCheckpoint()
         # one canonical row per fp within the batch (earliest url wins,
         # deterministic ordering)
         in_batch_first = fps.groupBy("fingerprint").agg(
@@ -102,11 +112,19 @@ def incremental_exact_dedup(
         )
         state_exists = catalog.exists(STATE_TABLE)
         if state_exists:
-            state = load_stream_state(catalog).select(
+            # the fp partitions this batch can possibly hit — bounded by
+            # min(|batch distinct fps|, stream_fp_buckets), tiny driver-side
+            batch_buckets = [
+                r[0]
+                for r in in_batch_first.select(
+                    _fp_bucket_col(cfg)
+                ).distinct().collect()
+            ]
+            state = pruned_state(catalog, cfg, batch_buckets).select(
                 "fingerprint", F.col("url").alias("state_url")
             )
-            # earliest prior owner per fp (state may hold one row per fp
-            # already, but replays make this defensive min() cheap insurance)
+            # earliest prior owner per fp (state holds one row per fp;
+            # min() is cheap insurance against partial-commit residue)
             state_first = state.groupBy("fingerprint").agg(
                 F.min("state_url").alias("matched_url")
             )
@@ -123,8 +141,14 @@ def incremental_exact_dedup(
         ).select("url", "fingerprint", "n_tokens")
 
         if state_first is not None:
-            hits = new_fps.join(state_first, "fingerprint", "inner").select(
-                "fingerprint", "url", "matched_url"
+            # url != matched_url: a batch REPLAYED after a crash (state
+            # append committed, streaming checkpoint not) finds its own
+            # first-seen urls in state — without the filter each would be
+            # recorded as a duplicate of itself
+            hits = (
+                new_fps.join(state_first, "fingerprint", "inner")
+                .filter(F.col("url") != F.col("matched_url"))
+                .select("fingerprint", "url", "matched_url")
             )
             dups = dups.unionByName(hits)
             new_fps = new_fps.join(
@@ -133,8 +157,11 @@ def incremental_exact_dedup(
 
         batch_col = F.lit(int(batch_id)).alias("batch_id")
         catalog.append(
-            new_fps.select("url", "fingerprint", "n_tokens", batch_col),
+            new_fps.select(
+                "url", "fingerprint", "n_tokens", batch_col, _fp_bucket_col(cfg)
+            ),
             STATE_TABLE,
+            partition_by=["fp_bucket"],
         )
         catalog.append(
             dups.select("fingerprint", "url", "matched_url", batch_col),
@@ -151,20 +178,37 @@ def incremental_exact_dedup(
     return writer.start()
 
 
-def load_stream_state(catalog: Catalog) -> DataFrame:
-    """Accumulated (url, fingerprint, n_tokens) state, replay-safe: a batch
-    re-appended after a crash-replay collapses to one row per url."""
+def _fp_bucket_col(cfg: PipelineConfig):
     return (
-        catalog.read(STATE_TABLE)
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("url").orderBy("batch_id")
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        F.pmod(F.col("fingerprint"), F.lit(cfg.stream_fp_buckets))
+        .cast("int")
+        .alias("fp_bucket")
     )
+
+
+def pruned_state(
+    catalog: Catalog, cfg: PipelineConfig, buckets: list[int]
+) -> DataFrame:
+    """State rows living in the given fp_bucket partitions — the isin filter
+    lands as a PartitionFilter on the scan (hive layout under the parquet
+    fallback, identity partition spec under Iceberg), so every other
+    partition's files are never opened. This is what keeps the per-batch
+    probe O(|batch's buckets| / N of state) instead of O(state)."""
+    return catalog.read(STATE_TABLE).filter(
+        F.col("fp_bucket").isin([int(b) for b in buckets])
+    )
+
+
+def load_stream_state(catalog: Catalog) -> DataFrame:
+    """Accumulated (url, fingerprint, n_tokens, batch_id, fp_bucket) state.
+
+    Replays re-append NOTHING (the probe anti-join sees the first commit's
+    rows — module docstring), so this is a plain read; the full-row
+    dropDuplicates only defends against a crash between the state and dup
+    appends re-committing identical rows (same batch_id -> exact-row dups,
+    deterministic dedup). No window, no sort — an O(state) shuffle-free
+    hash-dedup instead of the previous row_number over the entire table."""
+    return catalog.read(STATE_TABLE).dropDuplicates()
 
 
 def load_stream_dups(catalog: Catalog) -> DataFrame:

@@ -41,16 +41,16 @@ def test_oracle_keys_subset():
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert o <= q
-    # every non-oracle query is documented as rows-only
+    # every non-oracle query is documented as rows-only (media_exact_dupes
+    # and ann_planted_recall gained planted-arithmetic oracles in round 3;
+    # the two ANN top-k surfaces stay approximate by design)
     assert q - o == {
-        "media_exact_dupes",       # video rows ride the declared-boundary stub
         "ann_lsh_topk",            # approximate by design (recall < 1)
         "ann_ivf_topk",            # approximate by design (recall < 1)
     }
 
 
 ROWS_ONLY_SCHEMAS = {
-    "media_exact_dupes": {"media_id", "media_type"},
     "ann_lsh_topk": {"query_id", "neighbor_id", "cosine_e6", "rank"},
     "ann_ivf_topk": {"query_id", "neighbor_id", "cosine_e6", "rank"},
 }

@@ -29,6 +29,28 @@ def test_ppm_roundtrip():
         decode_ppm(b"JFIF....")
 
 
+def test_ppm_foreign_headers():
+    """Spec-valid foreign P6 variants decode identically; broken ones raise
+    (never a silently wrong image -> wrong phash)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    pixels = img.tobytes()
+    # '#' comment lines anywhere whitespace can appear in the header
+    with_comment = b"P6\n# written by foreign-tool 1.2\n5 4\n# cmt\n255\n" + pixels
+    assert np.array_equal(decode_ppm(with_comment), img)
+    # CRLF after maxval (the one foreign-writer whitespace variant)
+    with_crlf = b"P6\n5 4\n255\r\n" + pixels
+    assert np.array_equal(decode_ppm(with_crlf), img)
+    with pytest.raises(ValueError, match="truncated PPM pixel"):
+        decode_ppm(b"P6\n5 4\n255\n" + pixels[:-1])
+    with pytest.raises(ValueError, match="malformed PPM header"):
+        decode_ppm(b"P6\nfive 4\n255\n" + pixels)
+    with pytest.raises(ValueError, match="whitespace after PPM maxval"):
+        decode_ppm(b"P6\n5 4\n255#c\n" + pixels)
+    with pytest.raises(ValueError, match="invalid PPM dimensions"):
+        decode_ppm(b"P6\n0 4\n255\n")
+
+
 def test_wav_roundtrip():
     rng = np.random.default_rng(4)
     payload = synthetic_wav(rng, n_samples=2000)

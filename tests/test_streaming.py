@@ -84,6 +84,55 @@ def test_incremental_dedup_two_waves(spark, stream_env):
     assert load_stream_state(catalog).count() == 3
 
 
+def test_replayed_batch_is_noop(spark, stream_env, tmp_path):
+    """Crash-replay contract: state appends committed but the streaming
+    checkpoint lost -> the same files replay as a fresh batch against the
+    committed state. The replay must append nothing to state and record no
+    self-duplicates (url == matched_url)."""
+    cfg, catalog, drop_dir, ckpt = stream_env
+    _pages(spark, WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+    state1 = sorted(
+        (r.url, r.fingerprint) for r in load_stream_state(catalog).collect()
+    )
+    dups1 = {(r.url, r.matched_url) for r in load_stream_dups(catalog).collect()}
+
+    # replay: fresh checkpoint dir, same drops, same committed state
+    _drain(
+        read_web_pages_stream(spark, drop_dir), catalog, cfg,
+        str(tmp_path / "ckpt_replay"),
+    )
+    state2 = sorted(
+        (r.url, r.fingerprint) for r in load_stream_state(catalog).collect()
+    )
+    dups2 = {(r.url, r.matched_url) for r in load_stream_dups(catalog).collect()}
+    assert state2 == state1
+    assert dups2 == dups1
+    assert all(u != m for u, m in dups2)
+
+
+def test_state_probe_prunes_partitions(spark, stream_env):
+    """The state probe must read only the fp_bucket partitions the batch
+    can hit: the isin filter lands as a PartitionFilter on the parquet scan
+    (the VERDICT's plan assertion) and the scan's file set is confined to
+    the probed bucket directories."""
+    from cargo_dupes_spark.streaming.incremental import pruned_state
+
+    cfg, catalog, drop_dir, ckpt = stream_env
+    _pages(spark, WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    buckets = sorted({r.fp_bucket for r in load_stream_state(catalog).collect()})
+    assert len(buckets) == 2  # two distinct fps in wave 1
+    probe = pruned_state(catalog, cfg, buckets[:1])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    parts = plan.split("PartitionFilters:", 1)
+    assert len(parts) == 2 and "fp_bucket" in parts[1][:300], plan
+    # and the pruned read returns exactly the probed bucket's rows
+    got = {r.fp_bucket for r in probe.collect()}
+    assert got == set(buckets[:1])
+
+
 def test_cli_stream_subcommand(spark, stream_env, tmp_path):
     """`cli stream <dir>` drains available drops in a fresh process and
     reports the duplicate-arrival count (wiring test for the O3 surface)."""
