@@ -89,10 +89,20 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _parse_fp(s: str) -> int:
-    """Hex (16-char, reference to_hex format) or decimal; signed i64 wrap."""
+def _parse_fp(s: str) -> int | str:
+    """Hex (16-char, reference to_hex format) or decimal; signed i64 wrap.
+    A 32-char hex string is a 128-bit fingerprint (cfg.fingerprint_bits=128)
+    and stays in its canonical lowercase-hex string form."""
+    if len(s) == 32 and all(c in "0123456789abcdefABCDEF" for c in s):
+        return s.lower()
     v = int(s, 16) if any(c in s.lower() for c in "abcdef") or len(s) == 16 else int(s)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _fp_hex(fp: int | str) -> str:
+    """Canonical hex form: 128-bit fps already ARE hex strings; 64-bit longs
+    print as the reference's 16-char two's-complement u64 hex."""
+    return fp if isinstance(fp, str) else f"{fp & ((1 << 64) - 1):016x}"
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -125,8 +135,7 @@ def main(argv: list[str] | None = None) -> int:
 
         if cmd == "ignored":
             for row in load_ignore(catalog).collect():
-                print(f"{row.fingerprint & ((1 << 64) - 1):016x}"
-                      f"  {row.reason or ''}")
+                print(f"{_fp_hex(row.fingerprint)}  {row.reason or ''}")
             return 0
 
         if cmd == "stream":
@@ -166,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.dry_run:
                 print(f"{len(rows)} stale entries (dry run, not removed)")
             for r in rows:
-                print(f"stale: {r.fingerprint & ((1 << 64) - 1):016x}")
+                print(f"stale: {_fp_hex(r.fingerprint)}")
             return 0
 
         if cmd == "check":

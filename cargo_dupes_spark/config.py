@@ -73,6 +73,13 @@ class PipelineConfig:
     max_bucket_size: int = 2000    # LSH band buckets above this are salted/split
     salt_buckets: int = 16
 
+    # --- fingerprint width ---
+    # 64: BIGINT xxhash64 (default; collision math honest below ~10^9 docs).
+    # 128: two independently seeded xxhash64 halves as one 32-char hex
+    # string — the 10^12-doc upgrade path (functions/fingerprint.py). Flows
+    # through exact tier, composites, CC node ids, ignore lists, streaming.
+    fingerprint_bits: int = 64
+
     # --- streaming state layout ---
     # stream_fps is hive/Iceberg-partitioned by pmod(fingerprint, N): the
     # per-batch state probe prunes to the partitions the batch's own
@@ -116,6 +123,8 @@ class PipelineConfig:
             raise ValueError("jaccard_threshold must be in (0, 1]")
         if self.simhash_bits != 64:
             raise ValueError("only 64-bit SimHash is supported")
+        if self.fingerprint_bits not in (64, 128):
+            raise ValueError("fingerprint_bits must be 64 or 128")
         if self.simhash_chunks < self.hamming_threshold + 1:
             raise ValueError(
                 "pigeonhole requires simhash_chunks >= hamming_threshold+1"

@@ -9,17 +9,22 @@ algorithm of Kiveris et al., "Connected Components in MapReduce and Beyond"
 converging in O(log n) rounds to star graphs whose centers are the
 component minima.
 
-Node ids are xxhash64(url) (8-byte shuffle keys instead of url strings).
-Collision bound: ~n²/2^65 expected collisions — negligible below ~10^9
-docs; a 128-bit hash (two xxhash64 seeds) is the documented upgrade for
-10^12-doc runs. Each iteration localCheckpoints to cut lineage (SURVEY §7.4
-risk 1); convergence is an exact edge-set fingerprint match, not a count.
+Node ids default to xxhash64(url) (8-byte shuffle keys instead of url
+strings; collision bound ~n²/2^65 — negligible below ~10^9 docs). For
+10^12-doc runs pass ``id_bits=128``: node ids become the 32-char hex
+double-xxhash64 (functions/fingerprint.py) and every min/groupBy/join below
+works unchanged on the string ids (fixed-width lowercase hex orders
+consistently), at 4x the shuffle-key bytes. Each iteration localCheckpoints
+to cut lineage (SURVEY §7.4 risk 1); convergence is an exact edge-set
+fingerprint match, not a count.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.fingerprint import fingerprint_col
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -85,8 +90,10 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
 def connected_components_ids(
     edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
-    """edges(src BIGINT, dst BIGINT) -> (node BIGINT, component BIGINT)
-    where component is the minimum node id in the node's component."""
+    """edges(src, dst) -> (node, component) where component is the minimum
+    node id in the node's component. Id type is whatever the caller keyed
+    with (BIGINT default, 32-char hex string at id_bits=128) — every
+    operator below is type-agnostic."""
     # ONE Spark job per round: the convergence-fingerprint aggregate is the
     # action that materializes the LAZY localCheckpoint (eager checkpointing
     # plus a separate fingerprint job doubled the fixed per-round driver
@@ -115,23 +122,27 @@ def connected_components_ids(
     return members.unionByName(centers).distinct()
 
 
-def connected_components(edges_by_url: DataFrame) -> DataFrame:
+def connected_components(
+    edges_by_url: DataFrame, id_bits: int = 64
+) -> DataFrame:
     """edges(url_a, url_b, ...) -> clusters(url, cluster_id) where
-    cluster_id is the lexicographically minimal url in the component.
+    cluster_id is the url of the component's minimum-id node.
 
-    Because node id = xxhash64(url) and components are labeled by min ID
+    Because node id = hash(url) and components are labeled by min ID
     (not min url), the center url is recovered by joining ids back — the
     label is deterministic either way; "min id" is just as stable as
-    "min url" and cheaper to compute.
+    "min url" and cheaper to compute. ``id_bits`` follows
+    cfg.fingerprint_bits (module docstring).
     """
     nodes = (
         edges_by_url.select(F.col("url_a").alias("url"))
         .unionByName(edges_by_url.select(F.col("url_b").alias("url")))
         .distinct()
-        .withColumn("node", F.xxhash64("url"))
+        .withColumn("node", fingerprint_col("url", bits=id_bits))
     )
     id_edges = edges_by_url.select(
-        F.xxhash64("url_a").alias("src"), F.xxhash64("url_b").alias("dst")
+        fingerprint_col("url_a", bits=id_bits).alias("src"),
+        fingerprint_col("url_b", bits=id_bits).alias("dst"),
     )
     comp = connected_components_ids(id_edges)
     center_urls = nodes.select(

@@ -94,7 +94,9 @@ def prepare_columns(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "url",
         "lang",
         "norm_text",
-        fingerprint_col("norm_text").alias("fingerprint"),
+        fingerprint_col("norm_text", bits=cfg.fingerprint_bits).alias(
+            "fingerprint"
+        ),
         n_tokens_col("norm_text").alias("n_tokens"),
         "n_chars",
         is_boilerplate_col("norm_text").alias("is_boilerplate"),

@@ -36,9 +36,12 @@ def cluster_memberships(
     over the verified edge set rather than all pairs, which is the same
     value whenever the clustering is induced by those edges' endpoints).
     """
+    # fingerprint width is self-describing: a 128-bit fp column is a 32-char
+    # hex STRING (functions/fingerprint.py), so the composite follows suit
+    bits = 128 if dict(fingerprints.dtypes).get("fingerprint") == "string" else 64
     member_fps = clusters.join(fingerprints.select("url", "fingerprint"), "url")
     group_fp = member_fps.groupBy("cluster_id").agg(
-        composite_fingerprint_col("fingerprint").alias("group_fp")
+        composite_fingerprint_col("fingerprint", bits=bits).alias("group_fp")
     )
     edge_min = (
         edges.join(
@@ -91,7 +94,16 @@ def assemble_groups(
 def filter_ignored(groups_or_memberships: DataFrame, ignore: DataFrame) -> DataFrame:
     """[I1] drop groups whose composite fingerprint is on the ignore list.
     The ignore table is tiny — broadcast the anti-join (no shuffle of the
-    big side)."""
+    big side). The ignore table's width must match the memberships' (a
+    64-bit BIGINT list can't address 128-bit hex groups): mismatches raise
+    instead of silently never matching."""
+    want = dict(groups_or_memberships.dtypes)["group_fp"]
+    have = dict(ignore.dtypes)["fingerprint"]
+    if want != have:
+        raise ValueError(
+            f"ignore-list fingerprint type {have!r} does not match "
+            f"memberships group_fp type {want!r} (fingerprint_bits mismatch)"
+        )
     ign = F.broadcast(
         ignore.select(F.col("fingerprint").alias("group_fp")).distinct()
     )

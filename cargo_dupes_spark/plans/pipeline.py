@@ -212,36 +212,59 @@ class Pipeline:
         candidates = self._stage("candidate_pairs", build_candidates)
 
         def build_edges() -> DataFrame:
-            near_cand = candidates.filter(F.col("tier").isin("near", "simhash"))
-            # a pair found by both detectors verifies once
-            near_cand = (
-                near_cand.groupBy("url_a", "url_b")
-                .agg(F.min("tier").alias("tier"))  # 'near' < 'simhash'
-            )
-            near_edges = verify_pairs(near_cand, signatures, cfg).withColumn(
-                "tier", F.lit("near")
-            )
-            sub_cand = candidates.filter(F.col("tier") == "substring")
+            parts = []
+            if {"minhash", "simhash"} & set(self.detectors):
+                near_cand = candidates.filter(
+                    F.col("tier").isin("near", "simhash")
+                )
+                # a pair found by both detectors verifies once
+                near_cand = (
+                    near_cand.groupBy("url_a", "url_b")
+                    .agg(F.min("tier").alias("tier"))  # 'near' < 'simhash'
+                )
+                parts.append(
+                    verify_pairs(near_cand, signatures, cfg).withColumn(
+                        "tier", F.lit("near")
+                    )
+                )
             if "substring" in self.detectors:
+                sub_cand = candidates.filter(F.col("tier") == "substring")
                 # substring edges carry span offsets (X3); near edges get
                 # NULL spans via allowMissingColumns
-                sub_edges = verify_substring_pairs(sub_cand, reps, cfg)
-                return near_edges.unionByName(
-                    sub_edges, allowMissingColumns=True
-                )
-            return near_edges
+                parts.append(verify_substring_pairs(sub_cand, reps, cfg))
+            if not parts:
+                return self.spark.createDataFrame([], VERIFIED_EDGES)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
 
         edges = self._stage("verified_edges", build_edges)
 
+        # tiers with no active detector produce NO edges — running the CC
+        # iteration loop and the membership joins over provably-empty frames
+        # still costs real Spark jobs per tier (a measured fixed cost that
+        # never scales with cores), so inactive tiers are skipped outright
+        active_tiers = tuple(
+            t
+            for t, on in (
+                ("near", {"minhash", "simhash"} & set(self.detectors)),
+                ("substring", "substring" in self.detectors),
+            )
+            if on
+        )
+
         def build_clusters() -> DataFrame:
             outs = []
-            for tier in ("near", "substring"):
+            for tier in active_tiers:
                 tier_edges = edges.filter(F.col("tier") == tier)
                 outs.append(
-                    connected_components(tier_edges).withColumn(
-                        "tier", F.lit(tier)
-                    )
+                    connected_components(
+                        tier_edges, id_bits=cfg.fingerprint_bits
+                    ).withColumn("tier", F.lit(tier))
                 )
+            if not outs:
+                return self.spark.createDataFrame([], CLUSTERS)
             out = outs[0]
             for p in outs[1:]:
                 out = out.unionByName(p)
@@ -251,7 +274,7 @@ class Pipeline:
 
         def build_memberships() -> DataFrame:
             parts = [exact]
-            for tier in ("near", "substring"):
+            for tier in active_tiers:
                 tier_clusters = clusters.filter(F.col("tier") == tier).select(
                     "url", "cluster_id"
                 )
@@ -264,7 +287,9 @@ class Pipeline:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            return filter_ignored(out, load_ignore(self.catalog))
+            return filter_ignored(
+                out, load_ignore(self.catalog, bits=cfg.fingerprint_bits)
+            )
 
         memberships = self._stage("memberships", build_memberships)
 

@@ -30,8 +30,9 @@ def _fmt_thousands(n: int) -> str:
 
 
 def _collect(groups: DataFrame, stats: DataFrame, top_n: int | None):
+    bits = 128 if dict(groups.dtypes).get("group_fp") == "string" else 64
     g = groups.select(
-        fingerprint_hex_col("group_fp").alias("fingerprint"),
+        fingerprint_hex_col("group_fp", bits=bits).alias("fingerprint"),
         "tier",
         "n_members",
         "similarity",

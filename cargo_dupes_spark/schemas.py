@@ -140,6 +140,19 @@ IGNORE = T.StructType(
     ]
 )
 
+# fingerprint_bits=128 variant: fingerprints are 32-char lowercase hex
+# strings (functions/fingerprint.py); same shape for FINGERPRINTS /
+# MEMBERSHIPS / DUP_GROUPS — their fp columns widen to StringType when the
+# pipeline runs at 128 bits (schemas are never inferred, but the width is
+# cfg-driven at the column builders, so only the ignore table needs a
+# second declared schema for empty-frame creation)
+IGNORE_WIDE = T.StructType(
+    [
+        T.StructField("fingerprint", T.StringType(), False),
+        T.StructField("reason", T.StringType(), True),
+    ]
+)
+
 ORACLE_PAIRS = T.StructType(
     [
         T.StructField("url_a", T.StringType(), False),

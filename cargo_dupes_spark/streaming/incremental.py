@@ -179,8 +179,10 @@ def incremental_exact_dedup(
 
 
 def _fp_bucket_col(cfg: PipelineConfig):
+    # pmod over a re-hash (not the raw fp) so the SAME expression buckets
+    # 64-bit BIGINT and 128-bit hex-string fingerprints alike
     return (
-        F.pmod(F.col("fingerprint"), F.lit(cfg.stream_fp_buckets))
+        F.pmod(F.xxhash64("fingerprint"), F.lit(cfg.stream_fp_buckets))
         .cast("int")
         .alias("fp_bucket")
     )

@@ -76,3 +76,23 @@ def test_mixed_buckets(spark):
     assert {  # small bucket contributes its full quadratic set
         (a, b) for a, b in [(r["url_a"], r["url_b"]) for r in got]
     } >= {("u0000", "u0001"), ("u0000", "u0002"), ("u0002", "u0003")}
+
+
+def test_hot_key_split_across_band_ids_still_capped(spark):
+    """IVF shape: the SAME band_key under several band_ids (probe ranks).
+    Sizing must count the key as ONE bucket — per-(band_id, key) counts
+    would each sit under the cap while pass 2 groups them together into an
+    unbounded quadratic expansion (the exact skew pathology the cap
+    exists to bound)."""
+    cfg = _cfg(10, 2)
+    n = 30  # 3 band_ids x 10 members each: per-(band_id,key) size == cap
+    rows = [(f"u{i:04d}", i % 3, 77) for i in range(n)]
+    bucketed = spark.createDataFrame(
+        rows, "url string, band_id int, band_key long"
+    )
+    pairs, flagged = pairs_from_buckets(bucketed, cfg, "near")
+    flags = flagged.collect()
+    assert len(flags) == 1
+    assert flags[0]["bucket_size"] == n  # counted on band_key alone
+    assert flags[0]["action"] == "dropped"  # 30 > cap*salt = 20
+    assert pairs.count() == 0

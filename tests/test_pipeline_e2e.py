@@ -198,3 +198,52 @@ def test_corrupt_html_counted_in_lineage(spark, tmp_path):
     fps = spark.read.parquet(f"{cfg.warehouse}/fingerprints")
     row = fps.filter(F.col("url") == "http://bad.example/x").collect()
     assert len(row) == 1 and "utf8 decode" in row[0]["extract_error"]
+
+
+def test_wide_fingerprints_same_grouping(spark, tmp_path, pipeline_run):
+    """fingerprint_bits=128 (the 10^12-doc upgrade path): identical group
+    STRUCTURE to the 64-bit run on the fixture corpus — same member url
+    sets per tier — with every fp-typed column widened to 32-char hex
+    strings (exact group_fp, composite group_fp, CC cluster labels), and
+    the 128-bit ignore list round-trips through the same anti-join."""
+    cfg64, _, corpus, out64 = pipeline_run
+    cfg = PipelineConfig(warehouse=str(tmp_path / "wh128"), fingerprint_bits=128)
+    df, _ = generate_web_pages(spark, skew_rows=12)
+    out = Pipeline(
+        spark, cfg, detectors=("minhash", "simhash", "substring")
+    ).run(df)
+
+    def members_by_tier(memberships):
+        rows = memberships.select("url", "tier", "group_fp").collect()
+        out: dict[str, dict] = {}
+        for r in rows:
+            out.setdefault(r.tier, {}).setdefault(r.group_fp, set()).add(r.url)
+        # group ids differ across widths; compare the SET of member-sets
+        return {
+            t: {frozenset(v) for v in groups.values()}
+            for t, groups in out.items()
+        }
+
+    assert members_by_tier(out["memberships"]) == members_by_tier(
+        out64["memberships"]
+    )
+    assert dict(out["memberships"].dtypes)["group_fp"] == "string"
+    assert dict(out["fingerprints"].dtypes)["fingerprint"] == "string"
+    fp = out["memberships"].first().group_fp
+    assert len(fp) == 32 and int(fp, 16) >= 0
+
+    # 128-bit ignore round-trip: ignoring one group's hex fp drops exactly
+    # that group's members through the broadcast anti-join
+    from cargo_dupes_spark.operators.groups import filter_ignored
+    from cargo_dupes_spark.sources.catalog import Catalog
+    from cargo_dupes_spark.sources.ignore import add_ignore, load_ignore
+
+    catalog = Catalog(spark, cfg.warehouse, cfg.config_hash())
+    before = out["memberships"].count()
+    in_group = out["memberships"].filter(F.col("group_fp") == fp).count()
+    assert add_ignore(catalog, fp, "planted 128-bit ignore")
+    filtered = filter_ignored(
+        out["memberships"], load_ignore(catalog, bits=128)
+    )
+    assert filtered.count() == before - in_group
+    assert filtered.filter(F.col("group_fp") == fp).count() == 0
