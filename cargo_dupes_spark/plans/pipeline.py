@@ -64,9 +64,12 @@ class Pipeline:
         self.resume = resume
         self.stage_log: list[str] = []  # executed vs skipped, for tests
         self._prev_rows: int | None = None  # lineage n_in chain
+        self.stage_rows: dict[str, int | None] = {}  # committed row counts
+
+    _CHAIN = object()  # sentinel: n_in = previous stage's count
 
     # ------------------------------------------------------------------
-    def _stage(self, name: str, build) -> DataFrame:
+    def _stage(self, name: str, build, n_in=_CHAIN) -> DataFrame:
         """Run-or-resume one stage: skip if committed under this config.
 
         Lineage contract (O6): per-partition n_out comes from the committed
@@ -75,12 +78,20 @@ class Pipeline:
         ``extract_error`` column when present — the reference's warning
         channel (lib.rs:50-66), computed INSIDE the write job so failure
         accounting costs zero additional Spark jobs. n_in chains the
-        previous stage's committed row count.
+        previous stage's committed row count by default; concurrent stages
+        pass their shared upstream count explicitly (and do NOT advance the
+        chain — the caller does, from whichever branch feeds the next
+        serial stage).
         """
+        chained = n_in is Pipeline._CHAIN
+        if chained:
+            n_in = self._prev_rows
         if self.resume and self.catalog.is_complete(name):
             self.stage_log.append(f"skip:{name}")
             out = self.catalog.read(name)
-            self._prev_rows = None  # chain broken by skip; n_in unknown
+            self.stage_rows[name] = None
+            if chained:
+                self._prev_rows = None  # chain broken by skip; n_in unknown
             return out
         t0 = time.monotonic()
         df = build()
@@ -99,7 +110,7 @@ class Pipeline:
         n_rows = self.catalog.record_lineage(
             out,
             name,
-            n_in=self._prev_rows,
+            n_in=n_in,
             n_failed=failed.get("n_failed"),
             error_sample=failed.get("error_sample"),
         )
@@ -111,8 +122,33 @@ class Pipeline:
             },
         )
         self.stage_log.append(f"run:{name}")
-        self._prev_rows = n_rows
+        self.stage_rows[name] = n_rows
+        if chained:
+            self._prev_rows = n_rows
         return out
+
+    def _stages_concurrent(self, *specs) -> list[DataFrame]:
+        """Run INDEPENDENT stages' jobs concurrently from driver threads
+        (Spark's scheduler interleaves their tasks; concurrent job
+        submission is a supported pattern). The stage DAG has genuine
+        branches — exact_memberships and representatives both depend only
+        on fingerprints — and running them serially adds one full stage of
+        fixed commit latency to the critical path per branch: pure
+        non-scaling cost at every cluster size. Resume, lineage and metrics
+        are per-stage as ever (both branches record the same upstream n_in);
+        the n_in chain continues from the LAST spec, which by convention is
+        the branch the next serial stage consumes."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        upstream = self._prev_rows
+        with ThreadPoolExecutor(max_workers=len(specs)) as ex:
+            futs = [
+                ex.submit(self._stage, name, build, upstream)
+                for name, build in specs
+            ]
+            outs = [f.result() for f in futs]
+        self._prev_rows = self.stage_rows.get(specs[-1][0])
+        return outs
 
     # ------------------------------------------------------------------
     def run(self, web_pages: DataFrame) -> dict[str, DataFrame]:
@@ -126,14 +162,14 @@ class Pipeline:
             cfg,
         )
 
-        exact = self._stage(
-            "exact_memberships", lambda: exact_memberships(fingerprints)
-        )
-
-        # near/substring tiers operate on one representative per distinct
-        # fingerprint (J1 pre-exclusion, grouper.rs:100-108)
-        reps = self._stage(
-            "representatives", lambda: exact_representatives(fingerprints)
+        # exact tier and representatives are independent branches off the
+        # fingerprints table — their stage commits run concurrently.
+        # representatives last: the next serial stage (signatures) chains
+        # its n_in from it. (J1 pre-exclusion: near/substring tiers operate
+        # on one representative per distinct fingerprint, grouper.rs:100-108)
+        exact, reps = self._stages_concurrent(
+            ("exact_memberships", lambda: exact_memberships(fingerprints)),
+            ("representatives", lambda: exact_representatives(fingerprints)),
         )
 
         def build_signatures() -> DataFrame:

@@ -33,6 +33,7 @@ def _uf(edges, nodes):
     return {n: min(ms) for ms in comp.values() for n in ms}
 
 
+@pytest.mark.parametrize("driver_threshold", [0, 1_000_000])
 @pytest.mark.parametrize(
     "name,edges",
     [
@@ -43,14 +44,21 @@ def _uf(edges, nodes):
         ("self_loops", [(1, 1), (1, 2), (3, 3)]),
     ],
 )
-def test_against_union_find(spark, name, edges):
+def test_against_union_find(spark, name, edges, driver_threshold):
+    """threshold=0 forces the distributed large/small-star loop;
+    threshold=1M takes the driver union-find — identical labels required."""
     edges_ne = [(a, b) for a, b in edges if a != b]
     nodes = sorted({x for e in edges_ne for x in e})
     if not nodes:
         return
     expected = _uf(edges_ne, nodes)
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: r.component for r in connected_components_ids(df).collect()}
+    got = {
+        r.node: r.component
+        for r in connected_components_ids(
+            df, driver_threshold=driver_threshold
+        ).collect()
+    }
     assert got == expected
 
 
@@ -63,10 +71,14 @@ def test_random_graphs(spark):
         nodes = sorted({x for e in edges for x in e})
         expected = _uf(edges, nodes)
         df = spark.createDataFrame(edges, "src long, dst long")
-        got = {
-            r.node: r.component for r in connected_components_ids(df).collect()
-        }
-        assert got == expected
+        for thr in (0, 1_000_000):  # both execution paths, same labels
+            got = {
+                r.node: r.component
+                for r in connected_components_ids(
+                    df, driver_threshold=thr
+                ).collect()
+            }
+            assert got == expected
 
 
 def test_url_level_clustering(spark):
