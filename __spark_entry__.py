@@ -364,6 +364,74 @@ def _q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_ann_ivf_planted_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF twin of ann_planted_recall (VERDICT r3 #3): identical vectors get
+    # identical k-means assignments (the coarse quantizer is a deterministic
+    # argmax over broadcast centroids), so every planted copy shares all
+    # nprobe centroid buckets with its original, no bucket is capped
+    # (max_bucket_size exceeds the corpus), and cosine exactly 1.0 beats
+    # every non-identical candidate -> the copy is each query's rank-1
+    # neighbor BY CONSTRUCTION. Output = pure planting arithmetic, SQL
+    # oracle below.
+    from cargo_dupes_spark.operators.similarity import ivf_topk
+
+    emb = (
+        load_embeddings(spark, sf)
+        .filter(F.col("vec_id") < 1000)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(copies)
+    dim = _embedding_dim(emb)
+    out = ivf_topk(
+        both, k=3, dim=dim, n_centroids=16, nprobe=2,
+        max_bucket_size=1_000_000,
+    )
+    return (
+        out.filter(
+            (F.col("query_id") < 1_000_000)
+            & (F.col("neighbor_id") == F.col("query_id") + 1_000_000)
+        )
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("id_a")
+    )
+
+
+def _q_exact_dup_groups_wide(spark: SparkSession, sf: str) -> DataFrame:
+    # the 128-bit fingerprint path end-to-end through the REAL exact-tier
+    # operator (VERDICT r3 #5): group keys are 32-char hex double-xxhash64
+    # strings (functions/fingerprint.py), not norm_text — the oracle groups
+    # by norm_text, so a green row proves 128-bit grouping partitions the
+    # corpus identically (collision-free at 2^-128 per pair)
+    from cargo_dupes_spark.functions.fingerprint import fingerprint_col
+    from cargo_dupes_spark.operators.exact import exact_groups
+
+    docs = normalized(with_exact_copies(load_documents(spark, sf)))
+    fps = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        fingerprint_col("norm_text", bits=128).alias("fingerprint"),
+        "n_tokens",
+    )
+    g = exact_groups(fps)
+    return (
+        g.select(
+            F.array_min(
+                F.transform("members", lambda m: m.cast("long"))
+            ).alias("rep_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("total_tokens"),
+        )
+        .orderBy("rep_id")
+    )
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     # F1 surfaced directly: oracle-reproducible 60-bit content fingerprint
     # of norm_text per doc (the engine-portable twin of xxhash64(norm_text))
@@ -408,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,  # rows-only (approximate ANN)
         # planted exact-copy vectors: ANN recall 1 by construction, SQL oracle
         "ann_planted_recall": _q_ann_planted_recall,
+        "ann_ivf_planted_recall": _q_ann_ivf_planted_recall,
+        # 128-bit fingerprint grouping through the real exact-tier operator
+        "exact_dup_groups_wide": _q_exact_dup_groups_wide,
         "doc_fingerprints": _q_doc_fingerprints,
     }
 
@@ -697,5 +768,24 @@ def oracle_sql() -> dict[str, str]:
                    1000000::bigint as cosine_e6
             from embeddings where vec_id < 1000
             order by id_a
+        """,
+        # ann_ivf_planted_recall: identical vectors share every IVF centroid
+        # assignment and cosine 1.0 outranks all non-identical candidates,
+        # so the planted copy is each original's rank-1 neighbor
+        "ann_ivf_planted_recall": """
+            select vec_id::bigint as id_a,
+                   (vec_id + 1000000)::bigint as id_b,
+                   1000000::bigint as cosine_e6,
+                   1::bigint as rank
+            from embeddings where vec_id < 1000
+            order by id_a
+        """,
+        "exact_dup_groups_wide": f"""
+            with docs as ({_EXACT_UNION}),
+            norm as (select doc_id, {nt} as nt_ from docs)
+            select min(doc_id) as rep_id, count(*) as n_members,
+                   sum({n_tokens_sql('nt_')})::bigint as total_tokens
+            from norm group by nt_ having count(*) > 1
+            order by rep_id
         """,
     }

@@ -334,7 +334,13 @@ HEADLINE = (
 )
 
 
-def run_headline(sf_dir: str, cpus: int, mult: int) -> dict:
+def run_headline(sf_dir: str, cpus: int, mult: int, repeats: int = 3) -> dict:
+    """Best-of-``repeats`` per query. Identical work on this host varies
+    ±25-40% with sustained interference windows (eleven (2,8) protocol runs,
+    BASELINE.md), so a single sample made round-over-round comparison
+    noise-dominated (VERDICT r3 #2); the per-query minimum estimates the
+    achievable wall and ``samples`` carries every observation so the spread
+    is auditable."""
     import __spark_entry__ as entry_mod
     from cargo_dupes_spark.session import build_session
 
@@ -347,23 +353,39 @@ def run_headline(sf_dir: str, cpus: int, mult: int) -> dict:
         # warm-up: JVM + Arrow path, excluded from timings
         _noop_write(qs["normalize_docs"](spark, sf_dir))
 
-        timings: dict[str, float] = {}
-        for name in HEADLINE:
-            t0 = time.monotonic()
-            _noop_write(qs[name](spark, sf_dir))
-            timings[name] = round(time.monotonic() - t0, 3)
+        samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+        # round-robin over the suite (all queries once, then again): a slow
+        # host window hits ALL queries' sample k, not one query's every
+        # sample, so per-query minima stay comparable
+        for _ in range(repeats):
+            for name in HEADLINE:
+                t0 = time.monotonic()
+                _noop_write(qs[name](spark, sf_dir))
+                samples[name].append(round(time.monotonic() - t0, 3))
+        timings = {n: min(s) for n, s in samples.items()}
 
         # the headline throughput number: full pipeline over the replicated
         # corpus in THIS session (same JVM; scaling mode uses fresh JVMs)
-        pipe = _pipeline_in_session(spark, sf_dir, mult)
+        pipes = [
+            _pipeline_in_session(spark, sf_dir, mult) for _ in range(repeats)
+        ]
+        pipe = min(pipes, key=lambda p: p["wall_s"])
+        samples["full_pipeline"] = [p["wall_s"] for p in pipes]
         timings["full_pipeline"] = pipe["wall_s"]
 
         total = round(sum(timings.values()), 3)
+        spread = {
+            n: round((max(s) - min(s)) / min(s), 3) if min(s) > 0 else 0.0
+            for n, s in samples.items()
+        }
         return {
             "metric": "dedup_suite_wall",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "repeats": repeats,
+            "samples": samples,
+            "spread_frac": spread,
             "sf": sf_dir,
             "cpus": cpus,
             "pipeline_docs": pipe["docs"],
@@ -409,6 +431,10 @@ def main() -> int:
     p.add_argument("--scaling-base-cpus", type=int, default=8)
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument(
+        "--bench-repeats", type=int, default=3,
+        help="samples per headline query (best-of-N reported)",
+    )
+    p.add_argument(
         "--docs", type=int, default=None,
         help="use the deterministic synthetic corpus at this many base docs "
              "(linear dup structure) instead of replicating the sf dir",
@@ -430,7 +456,7 @@ def main() -> int:
             args.repeats,
         )
     else:
-        out = run_headline(args.sf_dir, args.cpus, args.mult)
+        out = run_headline(args.sf_dir, args.cpus, args.mult, args.bench_repeats)
     print(json.dumps(out))
     return 0
 

@@ -86,6 +86,9 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="streaming checkpoint dir (default <warehouse>/stream_ckpt)")
     stm.add_argument("--follow", action="store_true",
                      help="keep running (default: drain available files and exit)")
+    stm.add_argument("--near", action="store_true",
+                     help="also run the incremental NEAR-dup tier "
+                          "(MinHash band-key state + exact-Jaccard verify)")
     return p
 
 
@@ -142,24 +145,33 @@ def main(argv: list[str] | None = None) -> int:
             import os
 
             from .streaming.incremental import (
-                incremental_exact_dedup,
+                incremental_dedup,
                 load_stream_dups,
+                load_stream_near_dups,
                 read_web_pages_stream,
             )
 
             ckpt = args.checkpoint or os.path.join(
                 cfg.warehouse, "stream_ckpt"
             )
-            q = incremental_exact_dedup(
+            tiers = ("exact", "near") if args.near else ("exact",)
+            q = incremental_dedup(
                 read_web_pages_stream(spark, args.drop_dir),
                 catalog,
                 cfg,
                 ckpt,
+                tiers=tiers,
                 available_now=not args.follow,
             )
             q.awaitTermination()
             n = load_stream_dups(catalog).count()
-            print(f"stream drained; {n} duplicate arrivals recorded")
+            msg = f"stream drained; {n} duplicate arrivals recorded"
+            if args.near:
+                msg += (
+                    f"; {load_stream_near_dups(catalog).count()}"
+                    " near-duplicate arrivals recorded"
+                )
+            print(msg)
             return 0
 
         # all remaining commands run (or resume) the analysis

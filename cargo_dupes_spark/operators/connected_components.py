@@ -96,7 +96,9 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
 def _driver_union_find(pairs: list[tuple]) -> dict:
     """Union-find with min-id roots + path compression — node -> min id of
     its component. The same structure as the reference's in-RAM grouper
-    (grouper.rs:277-290), used here only BELOW the hybrid threshold."""
+    (grouper.rs:277-290). Kept as the oracle/reference implementation
+    (tests/test_cc.py pins the numpy path against it); the hybrid hot path
+    uses ``_numpy_components`` below."""
     parent: dict = {}
 
     def find(x):
@@ -117,6 +119,38 @@ def _driver_union_find(pairs: list[tuple]) -> dict:
         nodes.add(a)
         nodes.add(b)
     return {n: find(n) for n in nodes}
+
+
+def _numpy_components(a: "np.ndarray", b: "np.ndarray"):
+    """Edge endpoint arrays -> (nodes, min-id component label per node),
+    fully vectorized: min-label scatter over edges + pointer jumping until
+    a fixed point. Labels are indices into the SORTED unique-node array, so
+    the minimum index is the minimum id — same contract as the union-find.
+
+    Replaces the per-edge Python union-find on the hybrid driver path
+    (ADVICE r3: 1M collected Rows + a dict of Python ints is hundreds of MB
+    of objects; two int64 numpy columns via Arrow are ~16 MB flat, and the
+    propagation loop is O((E+V) log V) numpy ops with no object churn).
+    Handles BIGINT and 32-char-hex string ids alike (np.unique sorts both;
+    fixed-width lowercase hex orders like the 128-bit value)."""
+    import numpy as np
+
+    nodes, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = idx[: len(a)], idx[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.copy()
+        m = np.minimum(label[ia], label[ib])
+        np.minimum.at(label, ia, m)
+        np.minimum.at(label, ib, m)
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, before):
+            break
+    return nodes, nodes[label]
 
 
 DRIVER_CC_THRESHOLD = 1_000_000
@@ -149,15 +183,19 @@ def connected_components_ids(
     cur = cur.localCheckpoint(eager=False)
     prev_fp = _edge_fingerprint(cur)
     if prev_fp[0] <= driver_threshold:
+        # Arrow collect (toPandas): two primitive columns, ~16 MB at the 1M
+        # threshold — never a list of Row objects (ADVICE r3)
         canon = (
             cur.select(
                 F.least("src", "dst").alias("a"),
                 F.greatest("src", "dst").alias("b"),
             )
             .distinct()
-            .collect()
+            .toPandas()
         )
-        labels = _driver_union_find([(r["a"], r["b"]) for r in canon])
+        nodes, comps = _numpy_components(
+            canon["a"].to_numpy(), canon["b"].to_numpy()
+        )
         id_type = edges.schema["src"].dataType
         schema = T.StructType(
             [
@@ -166,7 +204,7 @@ def connected_components_ids(
             ]
         )
         return edges.sparkSession.createDataFrame(
-            list(labels.items()), schema
+            list(zip(nodes.tolist(), comps.tolist())), schema
         )
     for _ in range(max_iterations):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)

@@ -121,7 +121,10 @@ def substring_candidates(
 # suffix_array + lcp_array are the GSA reference implementation of that
 # verification; the HOT PATH (verify_substring_pairs) uses the vectorized
 # rolling-hash binary search instead (longest_common_substring_span) — same
-# exact answer, no per-char interpreter loop (Kasai's h-counter walk cost
+# LENGTH always; when several distinct longest substrings tie, the kernel
+# deterministically reports the span of the earliest occurrence in text a
+# (the GSA argmaxes over suffix-array order and can pick a different tied
+# span), with no per-char interpreter loop (Kasai's h-counter walk cost
 # ~100x a numpy kernel per pair; round-2 bench doubled on it). Tests pin the
 # two implementations against each other and against an O(nm) DP oracle.
 # ---------------------------------------------------------------------------

@@ -6,9 +6,21 @@ EXACT Jaccard over distinct shingle arrays (not the MinHash estimate — the
 recall gate requires the verify step to never drop a true pair,
 SURVEY §7.4 risk 2). Dice and Jaccard are monotone-related (D = 2J/(1+J)).
 
-Implementation is fully JVM-side: two hash joins pulling each side's
-shingles, then array_intersect/array_union sizes. SimHash-tier candidates
-get a cheap bit_count(xor) Hamming prefilter before the Jaccard check.
+Implementation is fully JVM-side and shuffles the heavy shingle payload
+ONCE. The previous shape (two aliased joins pulling each side's signatures)
+scanned the signatures table twice and moved the shingle-array mass through
+two exchanges — the measured cause of the verify stage scaling only 1.4-1.9x
+from 2->8 cores (DRAM-bound; VERDICT r3 #1). Now:
+
+  1. candidate pairs explode to two light rows (pair key, nid, side) —
+     ~130 B/row, no arrays, so AQE can broadcast them outright;
+  2. ONE inner join pulls signatures (single scan, single exchange at most);
+  3. a groupBy on the pair key reassembles (shingles_a, shingles_b) —
+     the only exchange that carries arrays, sized by the candidate set
+     (pairs << corpus at scale), not by the corpus.
+
+SimHash-tier candidates get a cheap bit_count(xor) Hamming prefilter before
+the Jaccard check.
 """
 
 from __future__ import annotations
@@ -26,35 +38,62 @@ def verify_pairs(
 ) -> DataFrame:
     """(url_a, url_b, tier) -> verified edges with exact similarity.
 
-    Both joins key on nid = xxhash64(url) — the same 8-byte surrogate
+    The join keys on nid = xxhash64(url) — the same 8-byte surrogate
     discipline as the candidate stage (operators/lsh.py): the signatures
-    side is the big one and shuffles/probes on a BIGINT instead of a url
-    string. nid collisions (two urls hashing alike would attach a foreign
-    shingle row) are neutralized by a post-join url equality filter — the
-    true row always survives it. Pairs are joined INTO the signatures side
-    rather than collected; AQE handles residual skew (hot urls appear in
-    many pairs).
+    side probes on a BIGINT instead of a url string. nid collisions (two
+    urls hashing alike would attach a foreign shingle row) are neutralized
+    by a url equality filter BEFORE the reassembly groupBy — the true row
+    always survives it, the foreign one never reaches the group. AQE
+    handles residual skew (hot urls appear in many pairs).
     """
-    sig_a = signatures.select(
-        F.xxhash64("url").alias("nid_a"),
-        F.col("url").alias("_sig_url_a"),
-        F.col("shingles").alias("shingles_a"),
-        F.col("simhash").alias("simhash_a"),
+    exploded = pairs.select(
+        "url_a",
+        "url_b",
+        "tier",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.xxhash64("url_a").alias("nid"), F.lit("a").alias("side")
+                ),
+                F.struct(
+                    F.xxhash64("url_b").alias("nid"), F.lit("b").alias("side")
+                ),
+            )
+        ).alias("_e"),
+    ).select("url_a", "url_b", "tier", "_e.nid", "_e.side")
+
+    sig = signatures.select(
+        F.xxhash64("url").alias("nid"),
+        F.col("url").alias("_sig_url"),
+        "shingles",
+        "simhash",
     )
-    sig_b = signatures.select(
-        F.xxhash64("url").alias("nid_b"),
-        F.col("url").alias("_sig_url_b"),
-        F.col("shingles").alias("shingles_b"),
-        F.col("simhash").alias("simhash_b"),
+
+    matched = exploded.join(sig, "nid", "inner").filter(
+        F.when(F.col("side") == "a", F.col("url_a") == F.col("_sig_url"))
+        .otherwise(F.col("url_b") == F.col("_sig_url"))
     )
+
+    def side_first(col: str, side: str):
+        # exactly one row per (pair, side) after the url filter (signatures
+        # are one-row-per-url by pipeline contract), so first() over the
+        # side-masked column is deterministic
+        return F.first(
+            F.when(F.col("side") == side, F.col(col)), ignorenulls=True
+        ).alias(f"{col}_{side}")
+
     joined = (
-        pairs.withColumn("nid_a", F.xxhash64("url_a"))
-        .withColumn("nid_b", F.xxhash64("url_b"))
-        .join(sig_a, "nid_a", "inner")
-        .join(sig_b, "nid_b", "inner")
+        matched.groupBy("url_a", "url_b", "tier")
+        .agg(
+            side_first("shingles", "a"),
+            side_first("shingles", "b"),
+            side_first("simhash", "a"),
+            side_first("simhash", "b"),
+        )
+        # inner-join semantics: a pair with either side absent from the
+        # signatures table is not verifiable and drops here
         .filter(
-            (F.col("url_a") == F.col("_sig_url_a"))
-            & (F.col("url_b") == F.col("_sig_url_b"))
+            F.col("shingles_a").isNotNull() & F.col("shingles_b").isNotNull()
         )
     )
 

@@ -9,7 +9,7 @@ re-scanning the corpus. This module is that incremental path:
   * ``read_web_pages_stream`` — file-source ``readStream`` over the same
     WEB_PAGES schema the batch pipeline uses (on a real cluster: Iceberg /
     Kafka source, identical downstream code).
-  * ``incremental_exact_dedup`` — foreachBatch: fingerprint the micro-batch
+  * ``incremental_dedup`` — foreachBatch: fingerprint the micro-batch
     (the batch tier's own prepare_columns UDFs), probe the accumulated
     fingerprint state table for hits, append new fingerprints to state and
     dup memberships to the output table. State lives in the Catalog
@@ -20,6 +20,10 @@ re-scanning the corpus. This module is that incremental path:
     batch's own fingerprints can live in (``pruned_state`` — partition
     pruning, not a full-state scan), so per-batch probe IO is bounded by
     |batch's buckets| / N of the state, not O(corpus).
+  * NEAR tier (``tiers=("exact", "near")``): each batch's canonical docs
+    are checked against accumulated MinHash band-key state with the batch
+    tier's exact shingle/signature config and verified by exact Jaccard —
+    see ``_process_near_tier`` for the state layout and replay contract.
   * ``windowed_doc_stats`` — watermark + windowed aggregation (late-data
     tolerant ingest monitoring: docs/tokens per lang per window).
 
@@ -38,6 +42,9 @@ deterministic. ``load_stream_dups`` likewise dedups on (url, matched_url).
 
 from __future__ import annotations
 
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,6 +55,9 @@ from ..sources.catalog import Catalog
 
 STATE_TABLE = "stream_fps"
 DUPS_TABLE = "stream_dups"
+BANDS_TABLE = "stream_bands"
+SIGS_TABLE = "stream_sigs"
+NEAR_DUPS_TABLE = "stream_near_dups"
 
 
 def read_web_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -66,107 +76,307 @@ def read_web_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
 
 
 def _fingerprint_batch(batch: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Micro-batch -> (url, fingerprint, n_tokens): the batch tier's own
-    normalize/fingerprint UDFs (byte-identical norm_text contract), gated
-    the same way so boilerplate/tiny docs never enter dedup state."""
+    """Micro-batch -> (url, lang, norm_text, fingerprint, n_tokens): the
+    batch tier's own normalize/fingerprint UDFs (byte-identical norm_text
+    contract), gated the same way so boilerplate/tiny docs never enter
+    dedup state. lang/norm_text ride along for the near tier."""
     return apply_gates(prepare_columns(batch, cfg), cfg).select(
-        "url", "fingerprint", "n_tokens"
+        "url", "lang", "norm_text", "fingerprint", "n_tokens"
     )
 
 
-def incremental_exact_dedup(
+def _process_exact_tier(
+    fps: DataFrame, catalog: Catalog, cfg: PipelineConfig, batch_id: int
+) -> DataFrame:
+    """Exact tier of one micro-batch: probe + state/dup appends. Returns the
+    batch's canonical docs (first-seen, not in state) WITH norm_text/lang —
+    the near tier's input (exact dups are pre-excluded from near candidacy,
+    the streaming analog of the batch tier's J1 representative rule)."""
+    # one canonical row per fp within the batch (earliest url wins,
+    # deterministic ordering)
+    in_batch_first = fps.groupBy("fingerprint").agg(
+        F.min("url").alias("first_url")
+    )
+    if catalog.exists(STATE_TABLE):
+        # the fp partitions this batch can possibly hit — bounded by
+        # min(|batch distinct fps|, stream_fp_buckets), tiny driver-side
+        batch_buckets = [
+            r[0]
+            for r in in_batch_first.select(
+                _fp_bucket_col(cfg)
+            ).distinct().collect()
+        ]
+        state = pruned_state(catalog, cfg, batch_buckets).select(
+            "fingerprint", F.col("url").alias("state_url")
+        )
+        # earliest prior owner per fp (state holds one row per fp;
+        # min() is cheap insurance against partial-commit residue)
+        state_first = state.groupBy("fingerprint").agg(
+            F.min("state_url").alias("matched_url")
+        )
+    else:
+        state_first = None
+
+    # in-batch dups: same fp, not the batch's first-seen url
+    dups = fps.join(in_batch_first, "fingerprint").filter(
+        F.col("url") != F.col("first_url")
+    ).select("fingerprint", "url", F.col("first_url").alias("matched_url"))
+
+    new_fps = fps.join(in_batch_first, "fingerprint").filter(
+        F.col("url") == F.col("first_url")
+    )
+
+    if state_first is not None:
+        # url != matched_url: a batch REPLAYED after a crash (state
+        # append committed, streaming checkpoint not) finds its own
+        # first-seen urls in state — without the filter each would be
+        # recorded as a duplicate of itself
+        hits = (
+            new_fps.join(state_first, "fingerprint", "inner")
+            .filter(F.col("url") != F.col("matched_url"))
+            .select("fingerprint", "url", "matched_url")
+        )
+        dups = dups.unionByName(hits)
+        new_fps = new_fps.join(
+            state_first.select("fingerprint"), "fingerprint", "left_anti"
+        )
+
+    batch_col = F.lit(int(batch_id)).alias("batch_id")
+    catalog.append(
+        new_fps.select(
+            "url", "fingerprint", "n_tokens", batch_col, _fp_bucket_col(cfg)
+        ),
+        STATE_TABLE,
+        partition_by=["fp_bucket"],
+    )
+    catalog.append(
+        dups.select("fingerprint", "url", "matched_url", batch_col),
+        DUPS_TABLE,
+    )
+    return new_fps.select("url", "lang", "norm_text")
+
+
+def _process_near_tier(
+    new_docs: DataFrame, catalog: Catalog, cfg: PipelineConfig, batch_id: int
+) -> None:
+    """Near tier of one micro-batch, reusing the batch tier's machinery
+    end-to-end (north_rule: recall is measured at identical
+    shingle/signature config): shingle -> fused MinHash UDF -> the SAME
+    32-band LSH keys as operators/lsh.py, probed against accumulated
+    band-key state with partition pruning, verified by EXACT Jaccard
+    against matched state docs' shingles (reference analog: the near tier
+    grouper.rs:95-220, applied per increment).
+
+    State layout (two tables, both hive/Iceberg-partitioned so per-batch
+    probes prune, never scan the corpus):
+      * stream_bands (url, band_key) partitioned by
+        band_bucket = pmod(xxhash64(band_key), N) — the candidate probe
+        touches only the batch's own band buckets: O(|batch| x bands / N).
+      * stream_sigs (url, lang, shingles) partitioned by
+        sig_bucket = pmod(xxhash64(url), N) — the verify step fetches
+        shingles for MATCHED state urls only, pruned to their buckets.
+    Probe fan-out is bounded: state band keys matching more than
+    cfg.max_bucket_size rows are excluded and ACCOUNTED (metrics row
+    'dropped_band_keys' — never silent, SURVEY §7.4 risk 4); a true near
+    pair shares many other bands.
+
+    Replay safety mirrors the exact tier: a replayed doc finds its OWN
+    band keys in state -> (a) the url != matched_url filter keeps
+    self-matches out of the dup stream, (b) docs whose url already owns
+    band state are excluded from the state re-append. The sigs append runs
+    BEFORE the bands append and replay detection keys on bands (the later
+    commit), so a crash between the two re-appends sigs as exact-row
+    duplicates — collapsed by the full-row dropDuplicates at every read.
+    Chains are edge semantics: matched_url may itself be a near-dup of an
+    earlier doc (transitive closure is the batch tier's CC job)."""
+    from ..functions.shingles import jaccard_col, with_shingles
+    from ..functions.signatures import signature_udf
+    from ..operators.lsh import minhash_band_keys_col
+
+    sig_fn = signature_udf(
+        cfg.num_perm, cfg.minhash_seed, want_minhash=True, want_simhash=False
+    )
+    sigs = (
+        with_shingles(
+            new_docs.select("url", "lang", "norm_text"),
+            "norm_text",
+            cfg.shingle_k,
+            cfg.shingle_seed,
+        )
+        .drop("norm_text")
+        .withColumn("minhash", sig_fn(F.col("shingles"))["minhash"])
+        .withColumn("band_keys", minhash_band_keys_col(cfg))
+        .select("url", "lang", "shingles", "band_keys")
+        .localCheckpoint()  # one Arrow pass; many downstream consumers
+    )
+    batch_bands = sigs.select(
+        "url", F.explode("band_keys").alias("band_key")
+    )
+
+    batch_shingles = sigs.select("url", "shingles")
+    near = None
+    replayed = None
+    if catalog.exists(BANDS_TABLE):
+        buckets = [
+            r[0]
+            for r in batch_bands.select(_band_bucket_col(cfg))
+            .distinct()
+            .collect()
+        ]
+        state_bands = pruned_band_state(catalog, cfg, buckets).select(
+            F.col("url").alias("state_url"), "band_key"
+        )
+        # cap probe fan-out: a boilerplate band key owned by a huge slice of
+        # the corpus would fan the join out quadratically per batch
+        sizes = state_bands.groupBy("band_key").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        hot = sizes.filter(F.col("sz") > cfg.max_bucket_size)
+        n_hot = hot.count()
+        if n_hot:
+            catalog.record_metrics(
+                "stream_near", {"dropped_band_keys": float(n_hot)}
+            )
+            state_bands = state_bands.join(
+                F.broadcast(hot.select("band_key")), "band_key", "left_anti"
+            )
+        matches = batch_bands.join(state_bands, "band_key").localCheckpoint()
+        replayed = (
+            matches.filter(F.col("url") == F.col("state_url"))
+            .select("url")
+            .distinct()
+        )
+        cross = (
+            matches.filter(F.col("url") != F.col("state_url"))
+            .select("url", F.col("state_url").alias("matched_url"))
+            .distinct()
+        )
+        m_buckets = [
+            r[0]
+            for r in cross.select(
+                _sig_bucket_col(cfg, "matched_url")
+            ).distinct().collect()
+        ]
+        if m_buckets:
+            state_sigs = (
+                catalog.read(SIGS_TABLE)
+                .filter(F.col("sig_bucket").isin(m_buckets))
+                .dropDuplicates()  # crash-residue insurance (exact-row dups)
+                .select(
+                    F.col("url").alias("matched_url"),
+                    F.col("shingles").alias("m_shingles"),
+                )
+            )
+            near = (
+                cross.join(batch_shingles, "url")
+                .join(state_sigs, "matched_url")
+                .withColumn(
+                    "similarity",
+                    F.round(jaccard_col("shingles", "m_shingles"), 6),
+                )
+                .filter(F.col("similarity") >= cfg.jaccard_threshold)
+                .select("url", "matched_url", "similarity")
+            )
+
+    # in-batch near pairs: same band key within the batch; the smaller url
+    # is the canonical side (deterministic, batch-internal)
+    ib = (
+        batch_bands.join(
+            batch_bands.select(
+                F.col("url").alias("matched_url"), "band_key"
+            ),
+            "band_key",
+        )
+        .filter(F.col("matched_url") < F.col("url"))
+        .select("url", "matched_url")
+        .distinct()
+    )
+    ib_near = (
+        ib.join(batch_shingles, "url")
+        .join(
+            batch_shingles.select(
+                F.col("url").alias("matched_url"),
+                F.col("shingles").alias("m_shingles"),
+            ),
+            "matched_url",
+        )
+        .withColumn(
+            "similarity", F.round(jaccard_col("shingles", "m_shingles"), 6)
+        )
+        .filter(F.col("similarity") >= cfg.jaccard_threshold)
+        .select("url", "matched_url", "similarity")
+    )
+    near = ib_near if near is None else near.unionByName(ib_near)
+
+    batch_col = F.lit(int(batch_id)).alias("batch_id")
+    near = near.select(
+        "url", "matched_url", "similarity", batch_col
+    ).localCheckpoint()
+    catalog.append(near, NEAR_DUPS_TABLE)
+
+    # canonical docs enter near state: not a near-dup this batch, not
+    # already owning band state (replay)
+    to_state = sigs.join(
+        near.select("url").distinct(), "url", "left_anti"
+    )
+    if replayed is not None:
+        to_state = to_state.join(replayed, "url", "left_anti")
+    to_state = to_state.localCheckpoint()  # sigs + bands appends both read it
+    catalog.append(
+        to_state.select(
+            "url", "lang", "shingles", batch_col, _sig_bucket_col(cfg)
+        ),
+        SIGS_TABLE,
+        partition_by=["sig_bucket"],
+    )
+    catalog.append(
+        to_state.select(
+            "url", F.explode("band_keys").alias("band_key")
+        ).select("url", "band_key", batch_col, _band_bucket_col(cfg)),
+        BANDS_TABLE,
+        partition_by=["band_bucket"],
+    )
+
+
+def incremental_dedup(
     stream: DataFrame,
     catalog: Catalog,
     cfg: PipelineConfig,
     checkpoint_dir: str,
+    tiers: tuple[str, ...] = ("exact",),
     available_now: bool = True,
 ):
-    """Start the incremental exact-dedup query; returns the StreamingQuery.
+    """Start the incremental dedup query; returns the StreamingQuery.
 
-    Per micro-batch (foreachBatch — the sink is two table appends, which is
-    not expressible as a single streaming sink):
+    Per micro-batch (foreachBatch — the sink is several table appends, not
+    expressible as a single streaming sink):
       1. fingerprint the batch with the batch-tier UDFs,
-      2. hits against STATE = rows whose fingerprint already exists in
-         ``stream_fps`` (earlier batches) -> appended to ``stream_dups``
-         with the earliest known url as ``matched_url``,
-      3. in-batch dups (same fp arriving twice in one batch) -> also dups,
-         matched to the batch's own first-seen url,
-      4. batch's first-seen (url, fp) rows appended to ``stream_fps``.
+      2. EXACT tier: probe ``stream_fps`` (partition-pruned), append hits to
+         ``stream_dups`` and first-seen fps to state,
+      3. NEAR tier (``tiers`` includes 'near'): the batch's canonical docs
+         are MinHash-banded with the batch tier's exact config, probed
+         against ``stream_bands``, exact-Jaccard-verified against matched
+         docs' shingles from ``stream_sigs``, and appended to
+         ``stream_near_dups`` (see ``_process_near_tier``).
 
     With ``available_now`` the query drains everything currently in the
     directory and stops — the deterministic test/backfill mode; without it
     the query runs continuously (production tail -f of the drop dir).
     """
-    spark = stream.sparkSession
+    unknown = set(tiers) - {"exact", "near"}
+    if unknown:
+        raise ValueError(f"unknown streaming tiers: {sorted(unknown)}")
+    _migrate_legacy_state(catalog, cfg)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        # localCheckpoint: the fingerprint UDF chain is referenced by four
+        # localCheckpoint: the fingerprint UDF chain is referenced by four+
         # downstream plans (first-seen, dups, state probe, bucket collect) —
         # materialize the batch-sized frame once instead of re-normalizing
         # the batch per consumer
         fps = _fingerprint_batch(batch, cfg).localCheckpoint()
-        # one canonical row per fp within the batch (earliest url wins,
-        # deterministic ordering)
-        in_batch_first = fps.groupBy("fingerprint").agg(
-            F.min("url").alias("first_url")
-        )
-        state_exists = catalog.exists(STATE_TABLE)
-        if state_exists:
-            # the fp partitions this batch can possibly hit — bounded by
-            # min(|batch distinct fps|, stream_fp_buckets), tiny driver-side
-            batch_buckets = [
-                r[0]
-                for r in in_batch_first.select(
-                    _fp_bucket_col(cfg)
-                ).distinct().collect()
-            ]
-            state = pruned_state(catalog, cfg, batch_buckets).select(
-                "fingerprint", F.col("url").alias("state_url")
-            )
-            # earliest prior owner per fp (state holds one row per fp;
-            # min() is cheap insurance against partial-commit residue)
-            state_first = state.groupBy("fingerprint").agg(
-                F.min("state_url").alias("matched_url")
-            )
-        else:
-            state_first = None
-
-        # in-batch dups: same fp, not the batch's first-seen url
-        dups = fps.join(in_batch_first, "fingerprint").filter(
-            F.col("url") != F.col("first_url")
-        ).select("fingerprint", "url", F.col("first_url").alias("matched_url"))
-
-        new_fps = fps.join(in_batch_first, "fingerprint").filter(
-            F.col("url") == F.col("first_url")
-        ).select("url", "fingerprint", "n_tokens")
-
-        if state_first is not None:
-            # url != matched_url: a batch REPLAYED after a crash (state
-            # append committed, streaming checkpoint not) finds its own
-            # first-seen urls in state — without the filter each would be
-            # recorded as a duplicate of itself
-            hits = (
-                new_fps.join(state_first, "fingerprint", "inner")
-                .filter(F.col("url") != F.col("matched_url"))
-                .select("fingerprint", "url", "matched_url")
-            )
-            dups = dups.unionByName(hits)
-            new_fps = new_fps.join(
-                state_first.select("fingerprint"), "fingerprint", "left_anti"
-            )
-
-        batch_col = F.lit(int(batch_id)).alias("batch_id")
-        catalog.append(
-            new_fps.select(
-                "url", "fingerprint", "n_tokens", batch_col, _fp_bucket_col(cfg)
-            ),
-            STATE_TABLE,
-            partition_by=["fp_bucket"],
-        )
-        catalog.append(
-            dups.select("fingerprint", "url", "matched_url", batch_col),
-            DUPS_TABLE,
-        )
+        new_docs = _process_exact_tier(fps, catalog, cfg, batch_id)
+        if "near" in tiers:
+            _process_near_tier(new_docs, catalog, cfg, batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -178,6 +388,20 @@ def incremental_exact_dedup(
     return writer.start()
 
 
+def incremental_exact_dedup(
+    stream: DataFrame,
+    catalog: Catalog,
+    cfg: PipelineConfig,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exact-tier-only incremental dedup (see ``incremental_dedup``)."""
+    return incremental_dedup(
+        stream, catalog, cfg, checkpoint_dir,
+        tiers=("exact",), available_now=available_now,
+    )
+
+
 def _fp_bucket_col(cfg: PipelineConfig):
     # pmod over a re-hash (not the raw fp) so the SAME expression buckets
     # 64-bit BIGINT and 128-bit hex-string fingerprints alike
@@ -185,6 +409,22 @@ def _fp_bucket_col(cfg: PipelineConfig):
         F.pmod(F.xxhash64("fingerprint"), F.lit(cfg.stream_fp_buckets))
         .cast("int")
         .alias("fp_bucket")
+    )
+
+
+def _band_bucket_col(cfg: PipelineConfig):
+    return (
+        F.pmod(F.xxhash64("band_key"), F.lit(cfg.stream_fp_buckets))
+        .cast("int")
+        .alias("band_bucket")
+    )
+
+
+def _sig_bucket_col(cfg: PipelineConfig, url_col: str = "url"):
+    return (
+        F.pmod(F.xxhash64(url_col), F.lit(cfg.stream_fp_buckets))
+        .cast("int")
+        .alias("sig_bucket")
     )
 
 
@@ -199,6 +439,56 @@ def pruned_state(
     return catalog.read(STATE_TABLE).filter(
         F.col("fp_bucket").isin([int(b) for b in buckets])
     )
+
+
+def pruned_band_state(
+    catalog: Catalog, cfg: PipelineConfig, buckets: list[int]
+) -> DataFrame:
+    """Band-key state rows in the given band_bucket partitions — the near
+    tier's partition-pruned probe (same contract as ``pruned_state``)."""
+    return catalog.read(BANDS_TABLE).filter(
+        F.col("band_bucket").isin([int(b) for b in buckets])
+    )
+
+
+def _migrate_legacy_state(catalog: Catalog, cfg: PipelineConfig) -> None:
+    """One-time layout migration (ADVICE r3): a warehouse written by the
+    pre-partitioned revision holds FLAT part-files (no fp_bucket column)
+    in the stream_fps root; new appends land under fp_bucket= dirs, and
+    Spark refuses the resulting mixed-depth listing. On stream start, any
+    flat legacy files are rewritten into the partitioned layout (bucket
+    derived from the fingerprint) and removed.
+
+    Crash-ordering: tmp write -> move into partition dirs -> unlink legacy.
+    A crash mid-sequence leaves the legacy files in place, so the next
+    start re-migrates; the only residue is exact-row duplicate state rows,
+    which every reader already collapses (full-row dropDuplicates /
+    min-per-fp probe). Iceberg mode never hits this (schema evolution)."""
+    if catalog.iceberg or not catalog.exists(STATE_TABLE):
+        return
+    root = catalog._path(STATE_TABLE)
+    # clean tmp orphans from a previous crashed migration
+    for orphan in root.parent.glob(f"{STATE_TABLE}__migrate_*"):
+        shutil.rmtree(orphan, ignore_errors=True)
+    legacy = sorted(str(p) for p in root.glob("*.parquet"))
+    if not legacy:
+        return
+    spark = catalog.spark
+    old = spark.read.parquet(*legacy)
+    if "fp_bucket" not in old.columns:
+        old = old.select(
+            "url", "fingerprint", "n_tokens", "batch_id", _fp_bucket_col(cfg)
+        )
+    tmp = root.parent / f"{STATE_TABLE}__migrate_{uuid.uuid4().hex[:8]}"
+    old.write.partitionBy("fp_bucket").parquet(str(tmp))
+    for bucket_dir in tmp.glob("fp_bucket=*"):
+        dest = root / bucket_dir.name
+        dest.mkdir(exist_ok=True)
+        for pf in bucket_dir.glob("*.parquet"):
+            shutil.move(str(pf), str(dest / pf.name))
+    for p in legacy:
+        (root / p.split("/")[-1]).unlink(missing_ok=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def load_stream_state(catalog: Catalog) -> DataFrame:
@@ -228,6 +518,26 @@ def load_stream_dups(catalog: Catalog) -> DataFrame:
         )
         return catalog.spark.createDataFrame([], schema)
     return catalog.read(DUPS_TABLE).dropDuplicates(["url", "matched_url"])
+
+
+def load_stream_near_dups(catalog: Catalog) -> DataFrame:
+    """Detected NEAR-duplicate arrivals (url, matched_url, similarity,
+    batch_id), replay-safe (one row per url+match)."""
+    if not catalog.exists(NEAR_DUPS_TABLE):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("matched_url", T.StringType()),
+                T.StructField("similarity", T.DoubleType()),
+                T.StructField("batch_id", T.LongType()),
+            ]
+        )
+        return catalog.spark.createDataFrame([], schema)
+    return catalog.read(NEAR_DUPS_TABLE).dropDuplicates(
+        ["url", "matched_url"]
+    )
 
 
 def windowed_doc_stats(

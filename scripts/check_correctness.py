@@ -31,7 +31,10 @@ def normalize(rows: list[tuple], cols: list[str]):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = round(v, 6)
+                # + 0.0 collapses -0.0 (round(-1e-9, 6) is -0.0, whose repr
+                # differs from '0.0') so a zero metric computed with opposite
+                # sign on the two engines never hash-mismatches
+                v = round(v, 6) + 0.0
             vals.append(repr(v))
         out.append("|".join(vals))
     return sorted(out)

@@ -178,3 +178,166 @@ def test_windowed_doc_stats(spark, stream_env):
         for r in spark.table("win_stats").collect()
     }
     assert got == {(12, "en"): 2, (13, "de"): 1}
+
+
+# ---------------------------------------------------------------------------
+# NEAR tier (VERDICT r3 #4): band-key state + exact-Jaccard verify
+# ---------------------------------------------------------------------------
+_WORDS = [a + b for a in "abcdefgh" for b in "abcdefgh"]  # survive masking
+_LONG = " ".join(_WORDS[:40])
+_LONG_EDITED = _LONG + " zz"  # one appended token: shingle Jaccard 38/39
+_LONG_EDITED2 = _LONG + " qq"
+
+NEAR_WAVE1 = [
+    ("http://n.example/1", TS, _LONG, "en"),
+    # in-batch near pair: suffix-edited copy arriving in the same wave
+    ("http://n.example/2", TS, _LONG_EDITED, "en"),
+    ("http://n.example/3", TS, " ".join(_WORDS[40:64]), "en"),
+]
+NEAR_WAVE2 = [
+    # cross-wave NEAR dup of wave-1 /1 (the VERDICT's done-criterion case)
+    ("http://o.example/9", TS, _LONG_EDITED2, "en"),
+    ("http://o.example/10", TS, " ".join(reversed(_WORDS[:30])), "en"),
+]
+
+
+def _drain_near(stream_df, catalog, cfg, ckpt):
+    from cargo_dupes_spark.streaming.incremental import incremental_dedup
+
+    q = incremental_dedup(
+        stream_df, catalog, cfg, ckpt, tiers=("exact", "near")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+
+def test_incremental_near_dedup_two_waves(spark, stream_env):
+    from cargo_dupes_spark.streaming.incremental import (
+        BANDS_TABLE,
+        SIGS_TABLE,
+        load_stream_near_dups,
+    )
+
+    cfg, catalog, drop_dir, ckpt = stream_env
+
+    _pages(spark, NEAR_WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_near(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    near1 = {
+        (r.url, r.matched_url): r.similarity
+        for r in load_stream_near_dups(catalog).collect()
+    }
+    # in-batch near pair detected, matched to the smaller url
+    assert set(near1) == {("http://n.example/2", "http://n.example/1")}
+    assert near1[("http://n.example/2", "http://n.example/1")] >= cfg.jaccard_threshold
+    # only canonical docs own band/sig state
+    state_urls = {r.url for r in catalog.read(SIGS_TABLE).collect()}
+    assert state_urls == {"http://n.example/1", "http://n.example/3"}
+    assert {r.url for r in catalog.read(BANDS_TABLE).collect()} == state_urls
+
+    _pages(spark, NEAR_WAVE2).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_near(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    near2 = {
+        (r.url, r.matched_url)
+        for r in load_stream_near_dups(catalog).collect()
+    }
+    # suffix-edited copy arriving in wave 2 matches wave 1's original
+    assert near2 == set(near1) | {("http://o.example/9", "http://n.example/1")}
+    state_urls2 = {r.url for r in catalog.read(SIGS_TABLE).collect()}
+    assert state_urls2 == state_urls | {"http://o.example/10"}
+
+
+def test_near_replayed_batch_is_noop(spark, stream_env, tmp_path):
+    from cargo_dupes_spark.streaming.incremental import (
+        BANDS_TABLE,
+        load_stream_near_dups,
+    )
+
+    cfg, catalog, drop_dir, ckpt = stream_env
+    _pages(spark, NEAR_WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_near(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+    near1 = {
+        (r.url, r.matched_url)
+        for r in load_stream_near_dups(catalog).collect()
+    }
+    bands1 = sorted(
+        (r.url, r.band_key) for r in catalog.read(BANDS_TABLE).collect()
+    )
+
+    # replay: fresh checkpoint, same drops, same committed state
+    _drain_near(
+        read_web_pages_stream(spark, drop_dir), catalog, cfg,
+        str(tmp_path / "ckpt_replay_near"),
+    )
+    near2 = {
+        (r.url, r.matched_url)
+        for r in load_stream_near_dups(catalog).collect()
+    }
+    bands2 = sorted(
+        (r.url, r.band_key) for r in catalog.read(BANDS_TABLE).collect()
+    )
+    assert near2 == near1
+    assert bands2 == bands1
+    assert all(u != m for u, m in near2)
+
+
+def test_near_probe_prunes_partitions(spark, stream_env):
+    """The band-key probe must land as a PartitionFilter on band_bucket —
+    the near-tier twin of the exact tier's plan assertion."""
+    from cargo_dupes_spark.streaming.incremental import (
+        BANDS_TABLE,
+        pruned_band_state,
+    )
+
+    cfg, catalog, drop_dir, ckpt = stream_env
+    _pages(spark, NEAR_WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_near(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    buckets = sorted(
+        {r.band_bucket for r in catalog.read(BANDS_TABLE).collect()}
+    )
+    assert buckets
+    probe = pruned_band_state(catalog, cfg, buckets[:1])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    parts = plan.split("PartitionFilters:", 1)
+    assert len(parts) == 2 and "band_bucket" in parts[1][:300], plan
+    assert {r.band_bucket for r in probe.collect()} == set(buckets[:1])
+
+
+def test_legacy_flat_state_migrates(spark, stream_env, tmp_path):
+    """A warehouse written by the pre-partitioned revision (flat part-files,
+    no fp_bucket column) must migrate to the partitioned layout on stream
+    start and keep detecting cross-wave dups (ADVICE r3)."""
+    cfg, catalog, drop_dir, ckpt = stream_env
+    _pages(spark, WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    # forge the legacy layout in a fresh warehouse: same rows, flat files,
+    # no fp_bucket column
+    legacy_rows = load_stream_state(catalog).select(
+        "url", "fingerprint", "n_tokens", "batch_id"
+    )
+    wh2 = tmp_path / "wh_legacy"
+    catalog2 = Catalog(spark, str(wh2), cfg.config_hash())
+    legacy_rows.coalesce(1).write.parquet(str(wh2 / "stream_fps"))
+    root = wh2 / "stream_fps"
+    assert list(root.glob("*.parquet"))  # flat layout in place
+
+    drops2 = tmp_path / "drops2"
+    drops2.mkdir()
+    _pages(spark, WAVE2).coalesce(1).write.mode("append").parquet(str(drops2))
+    _drain(
+        read_web_pages_stream(spark, str(drops2)), catalog2, cfg,
+        str(tmp_path / "ckpt_legacy"),
+    )
+    # migrated: no flat files left, bucket dirs present, probe still works
+    assert not list(root.glob("*.parquet"))
+    assert list(root.glob("fp_bucket=*"))
+    dups = {
+        (r.url, r.matched_url) for r in load_stream_dups(catalog2).collect()
+    }
+    assert ("http://b.example/9", "http://a.example/1") in dups
+    state = load_stream_state(catalog2)
+    assert "fp_bucket" in state.columns
+    assert state.count() == 3  # 2 migrated + 1 new, no duplicates
