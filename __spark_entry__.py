@@ -348,7 +348,8 @@ def _q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 def _q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # the second ANN scale path: k-means coarse quantizer (IVF) buckets +
     # exact cosine re-rank. Rows-only (approximate by design; the exactness
-    # baseline topk_cosine carries the SQL oracle).
+    # baseline topk_cosine carries the SQL oracle, and ann_ivf_planted_recall
+    # oracle-pins this path's recall on planted exact copies).
     from cargo_dupes_spark.operators.similarity import ivf_topk
 
     emb = load_embeddings(spark, sf).withColumn(

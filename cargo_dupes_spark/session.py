@@ -64,6 +64,18 @@ def build_session(
         # standard codec for petabyte-scale parquet anyway
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
+        # straggler armor: this host intermittently wedges a single Python
+        # UDF worker (observed: one signature-stage task at ~0% CPU for 17
+        # minutes while its JVM reader polls — the same shape as a sick
+        # executor on a real cluster). Speculation re-launches the laggard
+        # copy; maxFailures>1 (local default is 1!) lets a killed/failed
+        # task retry instead of failing the job. Both are standard
+        # large-cluster settings — parquet's commit protocol already
+        # handles speculative duplicates.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
+        .config("spark.task.maxFailures", "4")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -87,11 +87,19 @@ class Catalog:
         return self.spark.read.parquet(str(self._path(name)))
 
     def exists(self, name: str) -> bool:
-        """Stage/table existence — catalog lookup under Iceberg, path probe
-        under the parquet fallback."""
+        """Stage/table existence — catalog lookup under Iceberg, data probe
+        under the parquet fallback. An EMPTY partitioned append leaves a
+        directory holding only _SUCCESS (no schema-bearing part-file);
+        treating that as existing would make the next read throw
+        UNABLE_TO_INFER_SCHEMA and brick a restarting stream, so existence
+        requires at least one parquet file (rglob short-circuits on the
+        first hit — no full listing on large tables)."""
         if self.iceberg:  # pragma: no cover
             return self.spark.catalog.tableExists(self.table_ref(name))
-        return self._path(name).exists()
+        path = self._path(name)
+        if not path.is_dir():
+            return False
+        return next(iter(path.rglob("*.parquet")), None) is not None
 
     def checkpoint(self, df: DataFrame, name: str) -> DataFrame:
         """Write + read back: commits the stage AND cuts lineage (the

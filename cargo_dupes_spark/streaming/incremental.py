@@ -75,23 +75,38 @@ def read_web_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def _fingerprint_batch(batch: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Micro-batch -> (url, lang, norm_text, fingerprint, n_tokens): the
+def _fingerprint_batch(
+    batch: DataFrame, cfg: PipelineConfig, with_text: bool = False
+) -> DataFrame:
+    """Micro-batch -> (url[, lang, norm_text], fingerprint, n_tokens): the
     batch tier's own normalize/fingerprint UDFs (byte-identical norm_text
     contract), gated the same way so boilerplate/tiny docs never enter
-    dedup state. lang/norm_text ride along for the near tier."""
-    return apply_gates(prepare_columns(batch, cfg), cfg).select(
-        "url", "lang", "norm_text", "fingerprint", "n_tokens"
+    dedup state. lang/norm_text ride along only when the near tier needs
+    them — the exact-only mode must not drag full document text into the
+    per-batch localCheckpoint."""
+    cols = (
+        ["url", "lang", "norm_text", "fingerprint", "n_tokens"]
+        if with_text
+        else ["url", "fingerprint", "n_tokens"]
     )
+    return apply_gates(prepare_columns(batch, cfg), cfg).select(*cols)
 
 
 def _process_exact_tier(
     fps: DataFrame, catalog: Catalog, cfg: PipelineConfig, batch_id: int
 ) -> DataFrame:
     """Exact tier of one micro-batch: probe + state/dup appends. Returns the
-    batch's canonical docs (first-seen, not in state) WITH norm_text/lang —
-    the near tier's input (exact dups are pre-excluded from near candidacy,
-    the streaming analog of the batch tier's J1 representative rule)."""
+    batch's CANONICAL docs (with whatever columns ``fps`` carried) — the
+    near tier's input (exact dups are pre-excluded from near candidacy, the
+    streaming analog of the batch tier's J1 representative rule).
+
+    Canonical = first-seen-in-batch AND (absent from exact state OR present
+    under the doc's OWN url). The second disjunct is the replay bridge: a
+    batch that crashed AFTER the exact-state commit but BEFORE the near
+    tier's commits replays with its docs already in stream_fps — dropping
+    them here would leave their band/shingle state missing forever, so they
+    flow to the near tier, whose own replay detection appends exactly the
+    missing state and nothing else."""
     # one canonical row per fp within the batch (earliest url wins,
     # deterministic ordering)
     in_batch_first = fps.groupBy("fingerprint").agg(
@@ -126,20 +141,29 @@ def _process_exact_tier(
         F.col("url") == F.col("first_url")
     )
 
+    canonical = new_fps
     if state_first is not None:
         # url != matched_url: a batch REPLAYED after a crash (state
         # append committed, streaming checkpoint not) finds its own
         # first-seen urls in state — without the filter each would be
         # recorded as a duplicate of itself
+        with_state = new_fps.join(state_first, "fingerprint", "left")
         hits = (
-            new_fps.join(state_first, "fingerprint", "inner")
-            .filter(F.col("url") != F.col("matched_url"))
+            with_state.filter(
+                F.col("matched_url").isNotNull()
+                & (F.col("url") != F.col("matched_url"))
+            )
             .select("fingerprint", "url", "matched_url")
         )
         dups = dups.unionByName(hits)
-        new_fps = new_fps.join(
-            state_first.select("fingerprint"), "fingerprint", "left_anti"
+        new_fps = with_state.filter(F.col("matched_url").isNull()).drop(
+            "matched_url"
         )
+        # canonical keeps the replay-bridge docs (own url in state)
+        canonical = with_state.filter(
+            F.col("matched_url").isNull()
+            | (F.col("url") == F.col("matched_url"))
+        ).drop("matched_url")
 
     batch_col = F.lit(int(batch_id)).alias("batch_id")
     catalog.append(
@@ -153,7 +177,7 @@ def _process_exact_tier(
         dups.select("fingerprint", "url", "matched_url", batch_col),
         DUPS_TABLE,
     )
-    return new_fps.select("url", "lang", "norm_text")
+    return canonical.drop("fingerprint", "n_tokens")
 
 
 def _process_near_tier(
@@ -175,9 +199,11 @@ def _process_near_tier(
       * stream_sigs (url, lang, shingles) partitioned by
         sig_bucket = pmod(xxhash64(url), N) — the verify step fetches
         shingles for MATCHED state urls only, pruned to their buckets.
-    Probe fan-out is bounded: state band keys matching more than
-    cfg.max_bucket_size rows are excluded and ACCOUNTED (metrics row
-    'dropped_band_keys' — never silent, SURVEY §7.4 risk 4); a true near
+    Probe fan-out is bounded on BOTH sides (never silent, SURVEY §7.4
+    risk 4): in-batch pairing routes through the batch tier's own
+    capped/salted/accounted ``nid_pairs_from_buckets``; state band keys
+    matching more than cfg.max_bucket_size rows are excluded from the
+    cross probe and ACCOUNTED ('dropped_band_keys' metric); a true near
     pair shares many other bands.
 
     Replay safety mirrors the exact tier: a replayed doc finds its OWN
@@ -267,32 +293,41 @@ def _process_near_tier(
                     F.col("shingles").alias("m_shingles"),
                 )
             )
+            # threshold on the RAW jaccard (rounding only at output) so a
+            # borderline pair classifies identically to the batch tier's
+            # verify_pairs
             near = (
                 cross.join(batch_shingles, "url")
                 .join(state_sigs, "matched_url")
                 .withColumn(
-                    "similarity",
-                    F.round(jaccard_col("shingles", "m_shingles"), 6),
+                    "similarity", jaccard_col("shingles", "m_shingles")
                 )
                 .filter(F.col("similarity") >= cfg.jaccard_threshold)
                 .select("url", "matched_url", "similarity")
             )
 
-    # in-batch near pairs: same band key within the batch; the smaller url
-    # is the canonical side (deterministic, batch-internal)
-    ib = (
-        batch_bands.join(
-            batch_bands.select(
-                F.col("url").alias("matched_url"), "band_key"
-            ),
-            "band_key",
-        )
-        .filter(F.col("matched_url") < F.col("url"))
-        .select("url", "matched_url")
-        .distinct()
+    # in-batch near pairs through the batch tier's capped/salted/accounted
+    # pair machinery (a hot boilerplate band key inside one availableNow
+    # backfill batch would otherwise self-join quadratically); the smaller
+    # url is the canonical side (deterministic, batch-internal)
+    from ..operators.lsh import pairs_from_buckets
+
+    ib_pairs, ib_flagged = pairs_from_buckets(
+        batch_bands.select("url", F.lit(0).alias("band_id"), "band_key"),
+        cfg,
+        "near",
+        urls=sigs,
     )
+    n_ib_flagged = ib_flagged.count()
+    if n_ib_flagged:
+        catalog.record_metrics(
+            "stream_near", {"flagged_batch_buckets": float(n_ib_flagged)}
+        )
     ib_near = (
-        ib.join(batch_shingles, "url")
+        ib_pairs.select(
+            F.col("url_b").alias("url"), F.col("url_a").alias("matched_url")
+        )
+        .join(batch_shingles, "url")
         .join(
             batch_shingles.select(
                 F.col("url").alias("matched_url"),
@@ -300,9 +335,7 @@ def _process_near_tier(
             ),
             "matched_url",
         )
-        .withColumn(
-            "similarity", F.round(jaccard_col("shingles", "m_shingles"), 6)
-        )
+        .withColumn("similarity", jaccard_col("shingles", "m_shingles"))
         .filter(F.col("similarity") >= cfg.jaccard_threshold)
         .select("url", "matched_url", "similarity")
     )
@@ -310,7 +343,8 @@ def _process_near_tier(
 
     batch_col = F.lit(int(batch_id)).alias("batch_id")
     near = near.select(
-        "url", "matched_url", "similarity", batch_col
+        "url", "matched_url", F.round("similarity", 6).alias("similarity"),
+        batch_col,
     ).localCheckpoint()
     catalog.append(near, NEAR_DUPS_TABLE)
 
@@ -366,16 +400,22 @@ def incremental_dedup(
     unknown = set(tiers) - {"exact", "near"}
     if unknown:
         raise ValueError(f"unknown streaming tiers: {sorted(unknown)}")
+    if "exact" not in tiers:
+        # near builds on the exact tier's canonical-doc classification —
+        # silently running exact anyway would write state the caller opted
+        # out of, so an exact-less tier tuple is an error
+        raise ValueError("the 'exact' tier is mandatory ('near' builds on it)")
     _migrate_legacy_state(catalog, cfg)
+    near = "near" in tiers
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         # localCheckpoint: the fingerprint UDF chain is referenced by four+
         # downstream plans (first-seen, dups, state probe, bucket collect) —
         # materialize the batch-sized frame once instead of re-normalizing
         # the batch per consumer
-        fps = _fingerprint_batch(batch, cfg).localCheckpoint()
+        fps = _fingerprint_batch(batch, cfg, with_text=near).localCheckpoint()
         new_docs = _process_exact_tier(fps, catalog, cfg, batch_id)
-        if "near" in tiers:
+        if near:
             _process_near_tier(new_docs, catalog, cfg, batch_id)
 
     writer = (

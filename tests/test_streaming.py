@@ -341,3 +341,58 @@ def test_legacy_flat_state_migrates(spark, stream_env, tmp_path):
     state = load_stream_state(catalog2)
     assert "fp_bucket" in state.columns
     assert state.count() == 3  # 2 migrated + 1 new, no duplicates
+
+
+def test_near_state_recovers_after_partial_crash(spark, stream_env, tmp_path):
+    """Crash bridge: a batch that committed EXACT state but crashed before
+    the near tier's commits must, on replay, still populate band/shingle
+    state for its canonical docs (they are in stream_fps under their own
+    urls) — otherwise every future near-dup of those docs is silently
+    missed. Simulated by draining exact-only first (exact state committed,
+    near state absent), then replaying the same drops with the near tier
+    on a fresh checkpoint."""
+    from cargo_dupes_spark.streaming.incremental import (
+        SIGS_TABLE,
+        load_stream_near_dups,
+    )
+
+    cfg, catalog, drop_dir, ckpt = stream_env
+    _pages(spark, NEAR_WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    # "crashed" run: only the exact tier committed
+    _drain(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+    assert not catalog.exists(SIGS_TABLE)
+
+    # replay with the near tier enabled (fresh checkpoint = lost checkpoint)
+    _drain_near(
+        read_web_pages_stream(spark, drop_dir), catalog, cfg,
+        str(tmp_path / "ckpt_bridge"),
+    )
+    state_urls = {r.url for r in catalog.read(SIGS_TABLE).collect()}
+    assert state_urls == {"http://n.example/1", "http://n.example/3"}
+
+    # and a later near-dup arrival is detected against the recovered state
+    _pages(spark, NEAR_WAVE2).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_near(
+        read_web_pages_stream(spark, drop_dir), catalog, cfg,
+        str(tmp_path / "ckpt_bridge"),
+    )
+    near = {
+        (r.url, r.matched_url)
+        for r in load_stream_near_dups(catalog).collect()
+    }
+    assert ("http://o.example/9", "http://n.example/1") in near
+
+
+def test_empty_gated_batch_does_not_brick_state(spark, stream_env):
+    """A first batch whose docs are ALL gated out (tiny docs) must not leave
+    schema-less table dirs that brick the next batch's state probe."""
+    cfg, catalog, drop_dir, ckpt = stream_env
+    tiny = [("http://t.example/1", TS, "too short", "en")]
+    _pages(spark, tiny).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_near(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    # second batch with real docs must process cleanly
+    _pages(spark, NEAR_WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_near(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+    state = {r.url for r in load_stream_state(catalog).collect()}
+    assert "http://n.example/1" in state
