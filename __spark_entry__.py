@@ -514,6 +514,68 @@ def _q_stream_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_stream_windowed_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # the watermark+window streaming aggregation as a driver-oracle query:
+    # documents replay as a file-source stream with deterministic synthetic
+    # event times (doc_id minutes past a fixed epoch), drained availableNow
+    # in one batch (the watermark only advances BETWEEN batches, so no row
+    # is late and the result equals the plain GROUP BY the oracle runs —
+    # late-data DROPPING under an advanced watermark is pinned by
+    # tests/test_streaming.py instead, where batch boundaries are
+    # controlled).
+    import shutil
+    import tempfile
+    import uuid
+
+    from cargo_dupes_spark.streaming.incremental import (
+        read_web_pages_stream,
+        windowed_doc_stats,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_win_q_")
+    try:
+        docs = load_documents(spark, sf).filter(F.col("doc_id") < 500)
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(mins=F.col("doc_id").cast("int"))
+            ).alias("warc_ts"),
+            F.lit(None).cast("string").alias("html"),
+            "text",
+            "lang",
+        )
+        pages.coalesce(1).write.mode("append").parquet(f"{tmp}/drops")
+        out = windowed_doc_stats(
+            read_web_pages_stream(spark, f"{tmp}/drops")
+        )
+        sink = f"stream_win_q_{uuid.uuid4().hex[:8]}"  # repeat-call safe
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(sink)
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "lang",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_chars").cast("long").alias("n_chars"),
+            )
+            .orderBy("win_start", "lang")
+            .localCheckpoint()  # survives the temp checkpoint dir removal
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     # F1 surfaced directly: oracle-reproducible 60-bit content fingerprint
     # of norm_text per doc (the engine-portable twin of xxhash64(norm_text))
@@ -563,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups_wide": _q_exact_dup_groups_wide,
         # incremental streaming near-dup tier vs planted-copy SQL oracle
         "stream_near_dups": _q_stream_near_dups,
+        # watermarked windowed streaming aggregation vs GROUP BY oracle
+        "stream_windowed_stats": _q_stream_windowed_stats,
         "doc_fingerprints": _q_doc_fingerprints,
     }
 
@@ -903,5 +967,18 @@ def oracle_sql() -> dict[str, str]:
                    round(round(jac, 6) * 1e6)::bigint as jaccard_e6
             from j where jac >= {CFG.jaccard_threshold}
             order by id_dup
+        """,
+        # stream_windowed_stats: event time = epoch + doc_id minutes; the
+        # 1-hour tumbling window of the streaming agg equals
+        # date_trunc('hour') since windows are epoch-aligned
+        "stream_windowed_stats": """
+            select strftime(date_trunc('hour',
+                     timestamp '2026-01-01 00:00:00'
+                     + to_minutes(doc_id)), '%Y-%m-%d %H:%M:%S') as win_start,
+                   lang,
+                   count(*)::bigint as n_docs,
+                   sum(length(text))::bigint as n_chars
+            from documents where doc_id < 500
+            group by 1, 2 order by win_start, lang
         """,
     }
