@@ -11,6 +11,8 @@ that keep answers right but shapes wrong fail HERE, not at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from cargo_dupes_spark.operators.exact import apply_gates, prepare_columns
@@ -21,11 +23,6 @@ from cargo_dupes_spark.operators.verify import verify_pairs
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
-    # pre-execution plan (no AQE final plan needed for join-strategy checks)
-    return df._jdf.queryExecution().explainString("formatted")
 
 
 def test_gates_push_into_parquet_scan(spark, tmp_path, tmp_cfg, fixture_corpus):
@@ -104,3 +101,30 @@ def test_candidate_verify_plan_has_no_cartesian(spark, tmp_cfg):
         assert "BroadcastNestedLoopJoin" not in plan, plan
     # and the plan actually executes: same-bucket docs verify as dups
     assert verified.count() > 0
+
+
+def test_verify_joins_signatures_once(spark, tmp_cfg):
+    """verify_pairs must shuffle the heavy shingle payload through exactly
+    ONE join (the round-4 restructure: pairs explode to light (pair, nid,
+    side) rows -> one inner join on signatures -> groupBy reassembly). The
+    former two-aliased-join shape scanned the signatures table twice and
+    moved the array bytes through two exchanges — the measured cause of
+    verified_edges scaling 1.4-1.9x instead of ~3x (BASELINE.md round 4).
+    A regression back to per-side joins doubles both and fails here."""
+    pairs = spark.createDataFrame(
+        [("u1", "u2", "near"), ("u1", "u3", "near")],
+        "url_a string, url_b string, tier string",
+    )
+    sigs = spark.createDataFrame(
+        [("u%d" % i, list(range(10)), 0) for i in range(1, 4)],
+        "url string, shingles array<bigint>, simhash bigint",
+    )
+    plan = _plan(verify_pairs(pairs, sigs, tmp_cfg))
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoopJoin" not in plan, plan
+    # exactly one equi-join node in the whole verify subplan (each physical
+    # operator appears once in executedPlan().toString())
+    join_nodes = re.findall(
+        r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", plan
+    )
+    assert len(join_nodes) == 1, plan
