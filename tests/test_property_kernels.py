@@ -154,3 +154,33 @@ def test_lcs_length_is_symmetric(a, b, min_len):
     assert longest_common_substring_len(
         a, b, min_len
     ) == longest_common_substring_len(b, a, min_len)
+
+
+# ---------------------------------------------------------------------------
+# normalization idempotence — randomized, via the DuckDB render (no JVM;
+# test_normalize.py::test_normalize_duckdb_parity pins the DuckDB and Spark
+# renders byte-equal, so a property proved on one transfers to the other)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=160))
+def test_normalize_is_idempotent(raw):
+    """normalize(normalize(x)) == normalize(x): one pass leaves only
+    lowercase letters, placeholders and single spaces, none of which any
+    masking/stripping step can match again. A rule-table edit that breaks
+    this (e.g. a mask whose replacement itself matches a later pattern)
+    would make fingerprints depend on HOW MANY times a doc passed through
+    normalization — catastrophic for resume/streaming replay semantics."""
+    import duckdb
+
+    from cargo_dupes_spark.functions.normalize import normalize_text_sql
+
+    con = duckdb.connect()
+    sql = normalize_text_sql("t")
+    once = con.execute(
+        f"select {sql} from (select ? as t)", [raw]
+    ).fetchone()[0]
+    twice = con.execute(
+        f"select {sql} from (select ? as t)", [once]
+    ).fetchone()[0]
+    assert twice == once, (raw, once, twice)
