@@ -144,6 +144,85 @@ def _ann_candidate_pairs(
     return nid_pairs_from_buckets(bucketed, cfg)
 
 
+def _pair_vectors(
+    nid_pairs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(nid_a, nid_b) -> (nid_a, nid_b, va, vb) shuffling the vector payload
+    ONCE — the verify_pairs restructure (operators/verify.py) applied to the
+    ANN re-rank: pairs explode to light (pair, nid, side) rows, ONE inner
+    join pulls vectors (single scan + single exchange of the embeddings
+    table instead of the previous two aliased joins), and a groupBy on the
+    pair key reassembles both sides. The only exchange carrying vectors is
+    sized by the candidate set (pairs << corpus at scale), not the corpus.
+
+    ids are the caller's vec_id (unique per row by table contract), so the
+    side-masked first() is deterministic; a pair with either id absent from
+    ``embeddings`` drops (inner-join semantics, same as the old shape)."""
+    exploded = nid_pairs.select(
+        "nid_a",
+        "nid_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("nid_a").alias("nid"), F.lit("a").alias("side")),
+                F.struct(F.col("nid_b").alias("nid"), F.lit("b").alias("side")),
+            )
+        ).alias("_e"),
+    ).select("nid_a", "nid_b", "_e.nid", "_e.side")
+    vecs = embeddings.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("_v")
+    )
+
+    def side_first(side: str, out: str):
+        return F.first(
+            F.when(F.col("side") == side, F.col("_v")), ignorenulls=True
+        ).alias(out)
+
+    return (
+        exploded.join(vecs, "nid", "inner")
+        .groupBy("nid_a", "nid_b")
+        .agg(side_first("a", "va"), side_first("b", "vb"))
+        .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+    )
+
+
+def _topk_from_pairs(
+    nid_pairs: DataFrame,
+    embeddings: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Undirected candidate pairs -> per-query top-k: score each pair ONCE
+    (cosine is symmetric — the old shape directed the pairs first and
+    computed every cosine twice), then expand to both orientations with a
+    shuffle-free projection and window-rank."""
+    scored = _pair_vectors(nid_pairs, embeddings, id_col, vec_col).select(
+        "nid_a", "nid_b", F.round(cosine_col("va", "vb"), 6).alias("cosine")
+    )
+    directed = scored.select(
+        F.col("nid_a").alias("query_id"),
+        F.col("nid_b").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        scored.select(
+            F.col("nid_b").alias("query_id"),
+            F.col("nid_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int,
@@ -162,44 +241,13 @@ def lsh_topk(
     n_planes; buckets above max_bucket_size are salted (up to salt_buckets
     sub-buckets) or dropped with accounting, bounding the worst case.
 
-    The candidate shuffle carries 8-byte ids only; vectors are joined back
-    just for the re-rank (pairs << docs, so both joins are cheap relative to
-    shuffling vectors through the bucket stage)."""
+    The candidate shuffle carries 8-byte ids only; vectors meet the (small)
+    pair set through the single-shuffle reassembly of ``_pair_vectors``."""
     nid_pairs, _ = _ann_candidate_pairs(
         embeddings, dim, n_planes, n_tables, id_col, vec_col, seed,
         max_bucket_size, salt_buckets,
     )
-    # top-k is per-query: expand undirected pairs to both orientations
-    directed = nid_pairs.select(
-        F.col("nid_a").alias("query_id"), F.col("nid_b").alias("neighbor_id")
-    ).unionByName(
-        nid_pairs.select(
-            F.col("nid_b").alias("query_id"), F.col("nid_a").alias("neighbor_id")
-        )
-    )
-    qv = embeddings.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    cv = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    scored = (
-        directed.join(qv, "query_id", "inner")
-        .join(cv, "neighbor_id", "inner")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_col("qv", "cv"), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_from_pairs(nid_pairs, embeddings, k, id_col, vec_col)
 
 
 def _kmeans_centroids(
@@ -293,36 +341,7 @@ def ivf_topk(
         max_bucket_size=max_bucket_size, salt_buckets=salt_buckets
     )
     nid_pairs, _ = nid_pairs_from_buckets(bucketed, cfg)
-    directed = nid_pairs.select(
-        F.col("nid_a").alias("query_id"), F.col("nid_b").alias("neighbor_id")
-    ).unionByName(
-        nid_pairs.select(
-            F.col("nid_b").alias("query_id"), F.col("nid_a").alias("neighbor_id")
-        )
-    )
-    qv = embeddings.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    cv = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    scored = (
-        directed.join(qv, "query_id", "inner")
-        .join(cv, "neighbor_id", "inner")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_col("qv", "cv"), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_from_pairs(nid_pairs, embeddings, k, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(
@@ -348,15 +367,8 @@ def embedding_near_dup_pairs(
         embeddings, dim, n_planes, n_tables, id_col, vec_col, seed,
         max_bucket_size, salt_buckets,
     )
-    va = embeddings.select(
-        F.col(id_col).alias("nid_a"), F.col(vec_col).alias("va")
-    )
-    vb = embeddings.select(
-        F.col(id_col).alias("nid_b"), F.col(vec_col).alias("vb")
-    )
     return (
-        nid_pairs.join(va, "nid_a", "inner")
-        .join(vb, "nid_b", "inner")
+        _pair_vectors(nid_pairs, embeddings, id_col, vec_col)
         .select(
             F.col("nid_a").alias("id_a"),
             F.col("nid_b").alias("id_b"),

@@ -128,3 +128,31 @@ def test_verify_joins_signatures_once(spark, tmp_cfg):
         r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", plan
     )
     assert len(join_nodes) == 1, plan
+
+
+def test_ann_rerank_joins_embeddings_once(spark):
+    """The ANN re-rank must shuffle the vector payload through exactly ONE
+    join (_pair_vectors — the verify_pairs restructure applied to the
+    embedding tiers): the former shape joined the embeddings table twice
+    (qv + cv aliases), scanning it twice and moving the vectors through two
+    exchanges, and the top-k variant additionally scored every cosine twice
+    by directing pairs before the join. A regression fails here."""
+    from cargo_dupes_spark.operators.similarity import _pair_vectors
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "nid_a bigint, nid_b bigint"
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(1, 4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = _pair_vectors(pairs, emb, "vec_id", "embedding")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoopJoin" not in plan, plan
+    join_nodes = re.findall(
+        r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", plan
+    )
+    assert len(join_nodes) == 1, plan
+    rows = {(r.nid_a, r.nid_b) for r in out.collect()}
+    assert rows == {(1, 2), (1, 3)}
