@@ -286,13 +286,41 @@ def verify_substring_pairs(
     of the reference's sub-unit duplicates. Spans are half-open char ranges
     [start, end) into norm_text.
     """
-    texts_a = fingerprints.select(
-        F.col("url").alias("url_a"), F.col("norm_text").alias("text_a")
+    # single-shuffle text reassembly (the verify_pairs restructure,
+    # operators/verify.py): norm_text is the heaviest payload in the whole
+    # pipeline — the former two aliased joins scanned fingerprints twice
+    # and moved the full document text through two exchanges. Pairs explode
+    # to light (pair, url, side) rows, ONE inner join pulls norm_text, and
+    # the groupBy reassembles (text_a, text_b) in an exchange sized by the
+    # candidate set, not the corpus.
+    exploded = pairs.select(
+        "url_a",
+        "url_b",
+        "tier",
+        F.explode(
+            F.array(
+                F.struct(F.col("url_a").alias("url"), F.lit("a").alias("side")),
+                F.struct(F.col("url_b").alias("url"), F.lit("b").alias("side")),
+            )
+        ).alias("_e"),
+    ).select("url_a", "url_b", "tier", "_e.url", "_e.side")
+    texts = fingerprints.select("url", "norm_text")
+
+    def side_text(side: str, out: str):
+        # one row per (pair, side) after the join (fingerprints are
+        # one-row-per-url by pipeline contract) -> first() is deterministic
+        return F.first(
+            F.when(F.col("side") == side, F.col("norm_text")),
+            ignorenulls=True,
+        ).alias(out)
+
+    joined = (
+        exploded.join(texts, "url", "inner")
+        .groupBy("url_a", "url_b", "tier")
+        .agg(side_text("a", "text_a"), side_text("b", "text_b"))
+        # inner-join semantics: either side absent from fingerprints -> drop
+        .filter(F.col("text_a").isNotNull() & F.col("text_b").isNotNull())
     )
-    texts_b = fingerprints.select(
-        F.col("url").alias("url_b"), F.col("norm_text").alias("text_b")
-    )
-    joined = pairs.join(texts_a, "url_a", "inner").join(texts_b, "url_b", "inner")
     min_len = cfg.min_substring_len
 
     @F.pandas_udf(_SPAN_RESULT)

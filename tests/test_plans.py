@@ -156,3 +156,30 @@ def test_ann_rerank_joins_embeddings_once(spark):
     assert len(join_nodes) == 1, plan
     rows = {(r.nid_a, r.nid_b) for r in out.collect()}
     assert rows == {(1, 2), (1, 3)}
+
+
+def test_substring_verify_joins_texts_once(spark, tmp_cfg):
+    """verify_substring_pairs must shuffle norm_text — the heaviest payload
+    in the pipeline (full document text) — through exactly ONE join: the
+    same explode/reassemble restructure as verify_pairs. The former shape
+    joined the fingerprints table twice (text_a + text_b aliases)."""
+    from cargo_dupes_spark.operators.substring import verify_substring_pairs
+
+    pairs = spark.createDataFrame(
+        [("u1", "u2", "substring")], "url_a string, url_b string, tier string"
+    )
+    text_a = "the quick brown fox jumps over the lazy dog " * 4
+    fps = spark.createDataFrame(
+        # u2 is a 100-char contiguous substring of u1 (> min_substring_len)
+        [("u1", text_a), ("u2", "zz " + text_a[10:110] + " yy")],
+        "url string, norm_text string",
+    )
+    out = verify_substring_pairs(pairs, fps, tmp_cfg)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoopJoin" not in plan, plan
+    join_nodes = re.findall(
+        r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", plan
+    )
+    assert len(join_nodes) == 1, plan
+    assert out.count() == 1
