@@ -323,21 +323,45 @@ def _process_near_tier(
         catalog.record_metrics(
             "stream_near", {"flagged_batch_buckets": float(n_ib_flagged)}
         )
+    # single-shuffle shingle reassembly (the verify_pairs restructure,
+    # operators/verify.py) — batch-bounded either way, but the shingle
+    # payload still crosses one exchange instead of two
+    ib_exploded = ib_pairs.select(
+        "url_a",
+        "url_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("url_a").alias("u"), F.lit("a").alias("side")),
+                F.struct(F.col("url_b").alias("u"), F.lit("b").alias("side")),
+            )
+        ).alias("_e"),
+    ).select("url_a", "url_b", "_e.u", "_e.side")
     ib_near = (
-        ib_pairs.select(
-            F.col("url_b").alias("url"), F.col("url_a").alias("matched_url")
+        ib_exploded.join(
+            batch_shingles.select(F.col("url").alias("u"), "shingles"), "u"
         )
-        .join(batch_shingles, "url")
-        .join(
-            batch_shingles.select(
-                F.col("url").alias("matched_url"),
-                F.col("shingles").alias("m_shingles"),
-            ),
-            "matched_url",
+        .groupBy("url_a", "url_b")
+        .agg(
+            F.first(
+                F.when(F.col("side") == "a", F.col("shingles")),
+                ignorenulls=True,
+            ).alias("m_shingles"),
+            F.first(
+                F.when(F.col("side") == "b", F.col("shingles")),
+                ignorenulls=True,
+            ).alias("shingles"),
+        )
+        .filter(
+            F.col("shingles").isNotNull() & F.col("m_shingles").isNotNull()
         )
         .withColumn("similarity", jaccard_col("shingles", "m_shingles"))
         .filter(F.col("similarity") >= cfg.jaccard_threshold)
-        .select("url", "matched_url", "similarity")
+        # the smaller url (url_a) is the canonical side -> matched_url
+        .select(
+            F.col("url_b").alias("url"),
+            F.col("url_a").alias("matched_url"),
+            "similarity",
+        )
     )
     near = ib_near if near is None else near.unionByName(ib_near)
 
