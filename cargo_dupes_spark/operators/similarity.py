@@ -80,7 +80,13 @@ def multi_table_sketch_udf(dim: int, n_planes: int, n_tables: int, seed: int = 1
     the text SimHash tier.) One Arrow transfer + one matmul computes every
     table's key (the previous per-table UDFs re-scanned the input n_tables
     times); per-table planes keep the rng(seed + t) derivation so keys are
-    bit-identical to the old per-table sketches."""
+    bit-identical to the old per-table sketches.
+
+    ``n_planes=0`` is a valid degenerate configuration: zero hyperplanes
+    means every vector sketches to key 0 in every table — one bucket per
+    table, i.e. the EXHAUSTIVE-candidate configuration. The driver's
+    scoring-exactness oracle (ann_lsh_topk) uses it to make the candidate
+    set provably complete, so the emitted top-k must equal brute force."""
     planes = np.hstack(
         [
             np.random.default_rng(seed + t)
@@ -160,7 +166,16 @@ def _pair_vectors(
 
     ids are the caller's vec_id (unique per row by table contract), so the
     side-masked first() is deterministic; a pair with either id absent from
-    ``embeddings`` drops (inner-join semantics, same as the old shape)."""
+    ``embeddings`` drops (inner-join semantics, same as the old shape).
+
+    CONTRACT (ADVICE r4): ``embeddings`` must be one-row-per-id. A duplicate
+    id silently collapses to ONE arbitrary vector here (first() over the
+    merged group), where a two-join shape would have fanned the pair out
+    visibly — callers (lsh_topk / ivf_topk / embedding_near_dup_pairs /
+    verify shapes) inherit this. A row whose ``vec_col`` is NULL likewise
+    drops at the isNotNull filter (the old inner-join shape kept it with a
+    NULL cosine that fell out of ranking); null vectors are out of contract
+    for every public caller in this module."""
     exploded = nid_pairs.select(
         "nid_a",
         "nid_b",
