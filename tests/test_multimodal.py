@@ -8,15 +8,21 @@ from pyspark.sql import functions as F
 
 from cargo_dupes_spark.operators.multimodal import (
     FEATURE_SCHEMA,
+    NEAR_MEDIA_OFFSET,
     _audio_features,
     _image_features,
+    _wav_from_samples,
     decode_ppm,
     decode_wav,
     encode_ppm,
     exact_media_dupes,
     extract_features,
+    media_features,
+    near_media_dupes,
     resize_stub,
+    swap_extreme_blocks,
     synthetic_media,
+    synthetic_media_near,
     synthetic_wav,
 )
 
@@ -119,3 +125,91 @@ def test_resize_stub_shape(spark):
     # image rows are REALLY resampled: valid P6 at the target geometry
     img = decode_ppm(bytes(rows[0].payload))
     assert img.shape == (12, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# near tier: Hamming-ball over perceptual hashes (reference analog: the near
+# tier over opaque-object fingerprints, dupes-core/src/grouper.rs:95-220)
+# ---------------------------------------------------------------------------
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_swap_extreme_blocks_hamming_exactly_2():
+    # the block-swap perturbation's Hamming distance is an arithmetic fact:
+    # global mean unchanged, exactly the max/min-mean block bits flip
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        img = rng.integers(0, 200, size=(24, 32, 3), dtype=np.uint8)
+        ph0, _ = _image_features(img)
+        ph1, _ = _image_features(swap_extreme_blocks(img))
+        assert _ham(ph0, ph1) == 2
+
+
+def test_brightness_shift_hamming_zero():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 200, size=(24, 32, 3), dtype=np.uint8)
+    ph0, _ = _image_features(img)
+    ph1, _ = _image_features(img + np.uint8(10))
+    assert _ham(ph0, ph1) == 0
+
+
+def test_audio_amplification_hamming_zero():
+    rng = np.random.default_rng(6)
+    t = np.arange(4000)
+    x = (8000 * np.sin(0.05 * t) + rng.normal(0, 400, len(t))).astype(np.int16)
+    ph0, _ = _audio_features(x.astype(np.int16))
+    ph1, _ = _audio_features((x * 2).astype(np.int16))
+    assert _ham(ph0, ph1) == 0
+
+
+def _near_planted(n: int = 96) -> list[tuple[int, int, int]]:
+    out = []
+    for i in range(n):
+        if i % 3 == 0 and i % 6 == 0:
+            out.append((i, i + NEAR_MEDIA_OFFSET, 0))
+        elif i % 3 == 0 and i % 6 == 3:
+            out.append((i, i + NEAR_MEDIA_OFFSET, 2))
+        elif i % 6 == 1:
+            out.append((i, i + NEAR_MEDIA_OFFSET, 0))
+    return out
+
+
+def test_synthetic_media_near_no_organic_pairs(spark):
+    # brute-force exclusion of ANY unplanted same-type pair within the ball
+    # at the fixed seed — the assumption the driver oracle rests on
+    media = synthetic_media_near(spark, n=96)
+    rows = extract_features(media).collect()
+    planted = {(a, b) for a, b, _ in _near_planted(96)}
+    within = set()
+    for i, r1 in enumerate(rows):
+        for r2 in rows[i + 1 :]:
+            if r1.media_type != r2.media_type:
+                continue
+            if _ham(r1.phash, r2.phash) <= 3:
+                a, b = sorted((r1.media_id, r2.media_id))
+                within.add((a, b))
+    assert within == planted
+
+
+def test_near_media_dupes_operator(spark):
+    media = synthetic_media_near(spark, n=96)
+    feats = extract_features(media)
+    got = {
+        (r.id_a, r.id_b): (r.media_type, r.hamming)
+        for r in near_media_dupes(feats, hamming_threshold=3, n_chunks=4).collect()
+    }
+    expected = {
+        (a, b): ("image" if a % 3 == 0 else "audio", h)
+        for a, b, h in _near_planted(96)
+    }
+    assert got == expected
+
+
+def test_near_media_dupes_cross_type_never_pairs(spark):
+    # identical phash on different media_type must NOT pair (type folds into
+    # the band key AND the verify re-checks it)
+    feats = spark.createDataFrame(
+        [(1, "image", 42, None), (2, "audio", 42, None)], FEATURE_SCHEMA
+    )
+    assert near_media_dupes(feats).count() == 0
