@@ -646,6 +646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "minhash_near_pairs": dedup.minhash_near_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
+        # the same clusters computed with 32-char-hex 128-bit CC node ids
+        # (the 10^12-doc key width) — relabeled by min doc_id, so the same
+        # recursive-CTE oracle pins the whole 128-bit id path
+        "near_dup_clusters_wide": dedup.near_dup_clusters_wide,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "substring_containment_pairs": dedup.substring_containment_pairs,
         "doc_segments": _q_doc_segments,
@@ -838,6 +842,18 @@ def oracle_sql() -> dict[str, str]:
             order by id_a, id_b
         """,
         "near_dup_clusters": f"""
+            with recursive {_NEAR_EDGES},
+            bidir as (select id_a a, id_b b from edges
+                      union select id_b, id_a from edges),
+            reach(src, dst) as (
+              select a, a from bidir
+              union
+              select r.src, e.b from reach r join bidir e on r.dst = e.a
+            )
+            select src as doc_id, min(dst) as cluster_min
+            from reach group by src order by doc_id
+        """,
+        "near_dup_clusters_wide": f"""
             with recursive {_NEAR_EDGES},
             bidir as (select id_a a, id_b b from edges
                       union select id_b, id_a from edges),
