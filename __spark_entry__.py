@@ -554,6 +554,87 @@ def _q_stream_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+STREAM_SUB_MOD = 5
+STREAM_SUB_OFFSET = 6_000_000
+
+
+def _q_stream_substring_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # the incremental SUBSTRING tier end-to-end as a driver-oracle query
+    # (VERDICT r4 #5): wave 1 = documents doc_id < 300 (zero organic
+    # >=64-char cross-doc runs in that slice — the batch substring oracle
+    # already brute-force-checks a superset slice); wave 2 = 300-char
+    # mid-document fragments of every 5th doc. The streaming query drains
+    # both waves through real readStream micro-batches, probing winnow
+    # fingerprint state; output keeps the planted (fragment -> original)
+    # containments, whose lcs_len the DuckDB oracle recomputes as the
+    # normalized fragment's length under SQL contains() — the same
+    # predicate as the batch tier's strpos oracle.
+    import shutil
+    import tempfile
+
+    from cargo_dupes_spark.sources.catalog import Catalog
+    from cargo_dupes_spark.streaming.incremental import (
+        incremental_dedup,
+        load_stream_substring_dups,
+        read_web_pages_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_sub_q_")
+    try:
+        drops = f"{tmp}/drops"
+        ckpt = f"{tmp}/ckpt"
+        catalog = Catalog(spark, f"{tmp}/wh", CFG.config_hash())
+        docs = load_documents(spark, sf).filter(
+            F.col("doc_id") < STREAM_SLICE
+        )
+
+        def _as_pages(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col("doc_id").cast("string").alias("url"),
+                F.to_timestamp(F.lit("2026-01-01 12:00:00")).alias("warc_ts"),
+                F.lit(None).cast("string").alias("html"),
+                "text",
+                "lang",
+            )
+
+        wave2 = docs.filter(
+            (F.col("doc_id") % STREAM_SUB_MOD == 0)
+            & (F.length("text") >= 400)
+        ).select(
+            (F.col("doc_id") + STREAM_SUB_OFFSET).alias("doc_id"),
+            F.substring("text", 50, 300).alias("text"),
+            "lang",
+        )
+        for wave in (docs, wave2):
+            _as_pages(wave).coalesce(1).write.mode("append").parquet(drops)
+            q = incremental_dedup(
+                read_web_pages_stream(spark, drops), catalog, CFG, ckpt,
+                tiers=("exact", "substring"),
+            )
+            q.awaitTermination(300)
+
+        out = (
+            load_stream_substring_dups(catalog)
+            # full containment only (similarity == 1), mirroring the batch
+            # query's filter — partial overlaps have no SQL-computable LCS
+            .filter(F.col("similarity") >= 0.999999)
+            .select(
+                F.col("url").cast("long").alias("id_dup"),
+                F.col("matched_url").cast("long").alias("id_src"),
+                F.col("lcs_len").cast("long").alias("lcs_len"),
+            )
+            .filter(
+                (F.col("id_dup") >= STREAM_SUB_OFFSET)
+                & (F.col("id_src") == F.col("id_dup") - STREAM_SUB_OFFSET)
+            )
+            .orderBy("id_dup")
+            .localCheckpoint()  # materialize before the temp warehouse dies
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_stream_windowed_stats(spark: SparkSession, sf: str) -> DataFrame:
     # the watermark+window streaming aggregation as a driver-oracle query:
     # documents replay as a file-source stream with deterministic synthetic
@@ -674,6 +755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups_wide": _q_exact_dup_groups_wide,
         # incremental streaming near-dup tier vs planted-copy SQL oracle
         "stream_near_dups": _q_stream_near_dups,
+        # incremental streaming substring tier vs planted-fragment
+        # containment SQL oracle
+        "stream_substring_dups": _q_stream_substring_dups,
         # watermarked windowed streaming aggregation vs GROUP BY oracle
         "stream_windowed_stats": _q_stream_windowed_stats,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1086,6 +1170,34 @@ def oracle_sql() -> dict[str, str]:
                    doc_id::bigint as id_src,
                    round(round(jac, 6) * 1e6)::bigint as jaccard_e6
             from j where jac >= {CFG.jaccard_threshold}
+            order by id_dup
+        """,
+        # stream_substring_dups: wave-2 fragments (substring(text, 50, 300)
+        # of every 5th doc, length >= 400) are fully contained in their
+        # originals after normalization iff SQL contains() says so — then
+        # the streaming tier's exact LCS equals the normalized fragment's
+        # length (similarity 1.0). No organic >= 64-char cross-doc run
+        # exists in the slice (the batch substring oracle brute-force-checks
+        # the superset doc_id < 1500).
+        "stream_substring_dups": f"""
+            with docs as (
+              select doc_id, text from documents
+              where doc_id % {STREAM_SUB_MOD} = 0 and doc_id < {STREAM_SLICE}
+                and length(text) >= 400
+            ),
+            norm as (
+              select doc_id,
+                     {normalize_text_sql("text", CFG)} as nt_orig,
+                     {normalize_text_sql("substring(text, 50, 300)", CFG)}
+                       as nt_frag
+              from docs
+            )
+            select (doc_id + {STREAM_SUB_OFFSET})::bigint as id_dup,
+                   doc_id::bigint as id_src,
+                   length(nt_frag)::bigint as lcs_len
+            from norm
+            where contains(nt_orig, nt_frag)
+              and length(nt_frag) >= {CFG.min_substring_len}
             order by id_dup
         """,
         # stream_windowed_stats: event time = epoch + doc_id minutes; the

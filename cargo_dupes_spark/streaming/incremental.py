@@ -24,6 +24,10 @@ re-scanning the corpus. This module is that incremental path:
     are checked against accumulated MinHash band-key state with the batch
     tier's exact shingle/signature config and verified by exact Jaccard —
     see ``_process_near_tier`` for the state layout and replay contract.
+  * SUBSTRING tier (``tiers`` includes 'substring'): canonical docs'
+    winnowed fingerprints probe accumulated fingerprint state and
+    candidates verify with the exact rolling-hash LCS — see
+    ``_process_substring_tier``.
   * ``windowed_doc_stats`` — watermark + windowed aggregation (late-data
     tolerant ingest monitoring: docs/tokens per lang per window).
 
@@ -58,6 +62,9 @@ DUPS_TABLE = "stream_dups"
 BANDS_TABLE = "stream_bands"
 SIGS_TABLE = "stream_sigs"
 NEAR_DUPS_TABLE = "stream_near_dups"
+WINNOW_TABLE = "stream_winnow"
+TEXTS_TABLE = "stream_texts"
+SUBSTR_DUPS_TABLE = "stream_substring_dups"
 
 
 def read_web_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -396,6 +403,164 @@ def _process_near_tier(
     )
 
 
+def _process_substring_tier(
+    new_docs: DataFrame, catalog: Catalog, cfg: PipelineConfig, batch_id: int
+) -> None:
+    """Substring tier of one micro-batch (VERDICT r4 #5): a drained batch
+    whose doc CONTAINS (or is contained in) a prior doc at
+    >= min_substring_len chars is detected, reusing the batch tier's
+    winnowing candidate generation + exact rolling-hash LCS verify
+    (operators/substring.py) against accumulated fingerprint state.
+
+    State layout (same pmod(hash, N)-bucketed + pruned-probe pattern as the
+    near tier's stream_bands/stream_sigs):
+      * stream_winnow (url, band_key) partitioned by
+        win_bucket = pmod(xxhash64(band_key), N) — winnowed fingerprints
+        (~2% of chars), probed with partition pruning: O(|batch fps| / N).
+      * stream_texts (url, lang, norm_text) partitioned by
+        text_bucket = pmod(xxhash64(url), N) — the verify step fetches
+        norm_text for MATCHED state urls only, pruned to their buckets.
+    Hot fingerprint keys (boilerplate runs shared corpus-wide) are excluded
+    from the cross probe above cfg.max_bucket_size and ACCOUNTED
+    ('dropped_winnow_keys'); in-batch pairing routes through the
+    capped/salted/accounted pair machinery. Replay safety mirrors the near
+    tier: self-matches filter out of the dup stream, docs whose url already
+    owns winnow state skip the state re-append, texts append before winnow
+    (replay detection keys on the later commit)."""
+    from ..operators.lsh import pairs_from_buckets
+    from ..operators.substring import verify_substring_pairs, winnow_udf
+
+    eligible = (
+        new_docs.filter(F.length("norm_text") >= cfg.min_substring_len)
+        .select("url", "lang", "norm_text")
+        .localCheckpoint()
+    )
+    fps = eligible.select(
+        "url",
+        F.explode(
+            winnow_udf(cfg.winnow_kgram, cfg.winnow_window)(F.col("norm_text"))
+        ).alias("fph"),
+        "lang",
+    ).select(
+        "url", F.xxhash64("lang", "fph").alias("band_key")
+    ).localCheckpoint()
+
+    edges = None
+    replayed = None
+    if catalog.exists(WINNOW_TABLE):
+        buckets = [
+            r[0]
+            for r in fps.select(_winnow_bucket_col(cfg)).distinct().collect()
+        ]
+        state_fps = pruned_winnow_state(catalog, cfg, buckets).select(
+            F.col("url").alias("state_url"), "band_key"
+        )
+        sizes = state_fps.groupBy("band_key").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        hot = sizes.filter(F.col("sz") > cfg.max_bucket_size)
+        n_hot = hot.count()
+        if n_hot:
+            catalog.record_metrics(
+                "stream_substring", {"dropped_winnow_keys": float(n_hot)}
+            )
+            state_fps = state_fps.join(
+                F.broadcast(hot.select("band_key")), "band_key", "left_anti"
+            )
+        matches = fps.join(state_fps, "band_key").localCheckpoint()
+        replayed = (
+            matches.filter(F.col("url") == F.col("state_url"))
+            .select("url")
+            .distinct()
+        )
+        cross = (
+            matches.filter(F.col("url") != F.col("state_url"))
+            .select("url", F.col("state_url").alias("matched_url"))
+            .distinct()
+        )
+        m_buckets = [
+            r[0]
+            for r in cross.select(
+                _text_bucket_col(cfg, "matched_url")
+            ).distinct().collect()
+        ]
+        if m_buckets:
+            state_texts = (
+                catalog.read(TEXTS_TABLE)
+                .filter(F.col("text_bucket").isin(m_buckets))
+                .dropDuplicates()  # crash-residue insurance
+                .select("url", "norm_text")
+                # a url present in BOTH batch and state (re-sent url) must
+                # contribute ONE text row — the batch's wins
+                .join(eligible.select("url"), "url", "left_anti")
+            )
+            texts = eligible.select("url", "norm_text").unionByName(
+                state_texts
+            )
+            cross_pairs = cross.select(
+                F.col("matched_url").alias("url_a"),
+                F.col("url").alias("url_b"),
+                F.lit("substring").alias("tier"),
+            )
+            edges = verify_substring_pairs(cross_pairs, texts, cfg).select(
+                F.col("url_b").alias("url"),
+                F.col("url_a").alias("matched_url"),
+                (F.col("span_a_end") - F.col("span_a_start")).alias("lcs_len"),
+                "similarity",
+            )
+
+    # in-batch pairs through the capped/salted/accounted machinery
+    ib_pairs, ib_flagged = pairs_from_buckets(
+        fps.select("url", F.lit(0).alias("band_id"), "band_key"),
+        cfg,
+        "substring",
+        urls=eligible,
+    )
+    n_ib_flagged = ib_flagged.count()
+    if n_ib_flagged:
+        catalog.record_metrics(
+            "stream_substring", {"flagged_batch_buckets": float(n_ib_flagged)}
+        )
+    ib_edges = verify_substring_pairs(ib_pairs, eligible, cfg).select(
+        # the smaller url (url_a) is the canonical side -> matched_url
+        F.col("url_b").alias("url"),
+        F.col("url_a").alias("matched_url"),
+        (F.col("span_a_end") - F.col("span_a_start")).alias("lcs_len"),
+        "similarity",
+    )
+    edges = ib_edges if edges is None else edges.unionByName(ib_edges)
+
+    batch_col = F.lit(int(batch_id)).alias("batch_id")
+    edges = edges.select(
+        "url", "matched_url", "lcs_len",
+        F.round("similarity", 6).alias("similarity"), batch_col,
+    ).localCheckpoint()
+    catalog.append(edges, SUBSTR_DUPS_TABLE)
+
+    # canonical docs enter substring state: not a substring-dup this batch,
+    # not already owning winnow state (replay)
+    to_state = eligible.join(
+        edges.select("url").distinct(), "url", "left_anti"
+    )
+    if replayed is not None:
+        to_state = to_state.join(replayed, "url", "left_anti")
+    to_state = to_state.localCheckpoint()
+    catalog.append(
+        to_state.select(
+            "url", "lang", "norm_text", batch_col, _text_bucket_col(cfg)
+        ),
+        TEXTS_TABLE,
+        partition_by=["text_bucket"],
+    )
+    catalog.append(
+        fps.join(to_state.select("url"), "url", "inner").select(
+            "url", "band_key", batch_col, _winnow_bucket_col(cfg)
+        ),
+        WINNOW_TABLE,
+        partition_by=["win_bucket"],
+    )
+
+
 def incremental_dedup(
     stream: DataFrame,
     catalog: Catalog,
@@ -421,26 +586,35 @@ def incremental_dedup(
     directory and stops — the deterministic test/backfill mode; without it
     the query runs continuously (production tail -f of the drop dir).
     """
-    unknown = set(tiers) - {"exact", "near"}
+    unknown = set(tiers) - {"exact", "near", "substring"}
     if unknown:
         raise ValueError(f"unknown streaming tiers: {sorted(unknown)}")
     if "exact" not in tiers:
-        # near builds on the exact tier's canonical-doc classification —
-        # silently running exact anyway would write state the caller opted
-        # out of, so an exact-less tier tuple is an error
-        raise ValueError("the 'exact' tier is mandatory ('near' builds on it)")
+        # near/substring build on the exact tier's canonical-doc
+        # classification — silently running exact anyway would write state
+        # the caller opted out of, so an exact-less tier tuple is an error
+        raise ValueError(
+            "the 'exact' tier is mandatory ('near'/'substring' build on it)"
+        )
     _migrate_legacy_state(catalog, cfg)
     near = "near" in tiers
+    substring = "substring" in tiers
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         # localCheckpoint: the fingerprint UDF chain is referenced by four+
         # downstream plans (first-seen, dups, state probe, bucket collect) —
         # materialize the batch-sized frame once instead of re-normalizing
         # the batch per consumer
-        fps = _fingerprint_batch(batch, cfg, with_text=near).localCheckpoint()
+        fps = _fingerprint_batch(
+            batch, cfg, with_text=near or substring
+        ).localCheckpoint()
         new_docs = _process_exact_tier(fps, catalog, cfg, batch_id)
+        # near and substring are INDEPENDENT detectors over the same
+        # exact-canonical docs (the batch pipeline's parallel-detector shape)
         if near:
             _process_near_tier(new_docs, catalog, cfg, batch_id)
+        if substring:
+            _process_substring_tier(new_docs, catalog, cfg, batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -492,6 +666,22 @@ def _sig_bucket_col(cfg: PipelineConfig, url_col: str = "url"):
     )
 
 
+def _winnow_bucket_col(cfg: PipelineConfig):
+    return (
+        F.pmod(F.xxhash64("band_key"), F.lit(cfg.stream_fp_buckets))
+        .cast("int")
+        .alias("win_bucket")
+    )
+
+
+def _text_bucket_col(cfg: PipelineConfig, url_col: str = "url"):
+    return (
+        F.pmod(F.xxhash64(url_col), F.lit(cfg.stream_fp_buckets))
+        .cast("int")
+        .alias("text_bucket")
+    )
+
+
 def pruned_state(
     catalog: Catalog, cfg: PipelineConfig, buckets: list[int]
 ) -> DataFrame:
@@ -512,6 +702,17 @@ def pruned_band_state(
     tier's partition-pruned probe (same contract as ``pruned_state``)."""
     return catalog.read(BANDS_TABLE).filter(
         F.col("band_bucket").isin([int(b) for b in buckets])
+    )
+
+
+def pruned_winnow_state(
+    catalog: Catalog, cfg: PipelineConfig, buckets: list[int]
+) -> DataFrame:
+    """Winnow-fingerprint state rows in the given win_bucket partitions —
+    the substring tier's partition-pruned probe (same contract as
+    ``pruned_state``)."""
+    return catalog.read(WINNOW_TABLE).filter(
+        F.col("win_bucket").isin([int(b) for b in buckets])
     )
 
 
@@ -600,6 +801,27 @@ def load_stream_near_dups(catalog: Catalog) -> DataFrame:
         )
         return catalog.spark.createDataFrame([], schema)
     return catalog.read(NEAR_DUPS_TABLE).dropDuplicates(
+        ["url", "matched_url"]
+    )
+
+
+def load_stream_substring_dups(catalog: Catalog) -> DataFrame:
+    """Detected SUBSTRING-duplicate arrivals (url, matched_url, lcs_len,
+    similarity, batch_id), replay-safe (one row per url+match)."""
+    if not catalog.exists(SUBSTR_DUPS_TABLE):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("matched_url", T.StringType()),
+                T.StructField("lcs_len", T.LongType()),
+                T.StructField("similarity", T.DoubleType()),
+                T.StructField("batch_id", T.LongType()),
+            ]
+        )
+        return catalog.spark.createDataFrame([], schema)
+    return catalog.read(SUBSTR_DUPS_TABLE).dropDuplicates(
         ["url", "matched_url"]
     )
 

@@ -396,3 +396,160 @@ def test_empty_gated_batch_does_not_brick_state(spark, stream_env):
     _drain_near(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
     state = {r.url for r in load_stream_state(catalog).collect()}
     assert "http://n.example/1" in state
+
+
+# ---------------------------------------------------------------------------
+# substring tier (VERDICT r4 #5): a drained doc containing (or contained in)
+# a prior doc at >= min_substring_len chars is detected against winnow state
+# ---------------------------------------------------------------------------
+# distinct letter-only words (digits would mask to a repeating pattern under
+# number masking, making a text contain its own reversal)
+_BASE_TEXT = " ".join(
+    f"{a}{b}ward" for a in "abcdefgh" for b in "klmnopqr"
+)  # 64 distinct 6-char words, ~450 chars
+
+
+SUB_WAVE1 = [
+    ("http://s.example/1", TS, _BASE_TEXT, "en"),
+    ("http://s.example/2", TS, " ".join(reversed(_BASE_TEXT.split())), "en"),
+]
+SUB_WAVE2 = [
+    # contains wave-1 url /1's full text plus fresh prefix/suffix
+    (
+        "http://t.example/9",
+        TS,
+        "fresh preamble words " + _BASE_TEXT + " trailing addendum",
+        "en",
+    ),
+    (
+        "http://t.example/10",
+        TS,
+        # long enough to clear the min_substring_len eligibility gate
+        "nothing shared with anything here at all "
+        "separate vocabulary entirely distinct material unrelated prose",
+        "en",
+    ),
+]
+
+
+def _drain_substr(stream_df, catalog, cfg, ckpt):
+    from cargo_dupes_spark.streaming.incremental import incremental_dedup
+
+    q = incremental_dedup(
+        stream_df, catalog, cfg, ckpt, tiers=("exact", "substring")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+
+def test_incremental_substring_dedup_two_waves(spark, stream_env):
+    from cargo_dupes_spark.functions.normalize import normalize_text_col
+    from cargo_dupes_spark.streaming.incremental import (
+        TEXTS_TABLE,
+        WINNOW_TABLE,
+        load_stream_substring_dups,
+    )
+
+    cfg, catalog, drop_dir, ckpt = stream_env
+
+    _pages(spark, SUB_WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_substr(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    # wave 1: no containment (same tokens, different order -> no >=64-char
+    # common run); both docs enter state
+    assert load_stream_substring_dups(catalog).count() == 0
+    state_urls = {r.url for r in catalog.read(TEXTS_TABLE).collect()}
+    assert state_urls == {"http://s.example/1", "http://s.example/2"}
+    assert {r.url for r in catalog.read(WINNOW_TABLE).collect()} == state_urls
+
+    _pages(spark, SUB_WAVE2).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_substr(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+
+    dups = {
+        (r.url, r.matched_url): r
+        for r in load_stream_substring_dups(catalog).collect()
+    }
+    assert set(dups) == {("http://t.example/9", "http://s.example/1")}
+    row = dups[("http://t.example/9", "http://s.example/1")]
+    # the contained side is the full wave-1 norm_text -> lcs == its length,
+    # similarity == 1.0 (full containment)
+    norm_len = len(
+        spark.createDataFrame([(_BASE_TEXT,)], "text string")
+        .select(normalize_text_col("text", cfg).alias("n"))
+        .first()
+        .n
+    )
+    assert row.lcs_len == norm_len
+    assert row.similarity == 1.0
+    # only canonical (non-dup) docs joined state
+    state2 = {r.url for r in catalog.read(TEXTS_TABLE).collect()}
+    assert state2 == state_urls | {"http://t.example/10"}
+
+
+def test_substring_in_batch_detection(spark, stream_env):
+    from cargo_dupes_spark.streaming.incremental import (
+        load_stream_substring_dups,
+    )
+
+    cfg, catalog, drop_dir, ckpt = stream_env
+    both = SUB_WAVE1 + [
+        ("http://s.example/3", TS, _BASE_TEXT + " extra suffix words", "en")
+    ]
+    _pages(spark, both).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_substr(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+    dups = {
+        (r.url, r.matched_url)
+        for r in load_stream_substring_dups(catalog).collect()
+    }
+    # in-batch containment, matched to the smaller url
+    assert dups == {("http://s.example/3", "http://s.example/1")}
+
+
+def test_substring_replayed_batch_is_noop(spark, stream_env, tmp_path):
+    from cargo_dupes_spark.streaming.incremental import (
+        WINNOW_TABLE,
+        load_stream_substring_dups,
+    )
+
+    cfg, catalog, drop_dir, ckpt = stream_env
+    _pages(spark, SUB_WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_substr(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+    dups1 = {
+        (r.url, r.matched_url)
+        for r in load_stream_substring_dups(catalog).collect()
+    }
+    fps1 = sorted(
+        (r.url, r.band_key) for r in catalog.read(WINNOW_TABLE).collect()
+    )
+
+    # replay: fresh checkpoint, same drops, same committed state
+    _drain_substr(
+        read_web_pages_stream(spark, drop_dir), catalog, cfg,
+        str(tmp_path / "ckpt_replay_substr"),
+    )
+    dups2 = {
+        (r.url, r.matched_url)
+        for r in load_stream_substring_dups(catalog).collect()
+    }
+    fps2 = sorted(
+        (r.url, r.band_key) for r in catalog.read(WINNOW_TABLE).collect()
+    )
+    assert dups2 == dups1
+    assert fps2 == fps1
+    assert all(u != m for u, m in dups2)
+
+
+def test_winnow_probe_prunes_partitions(spark, stream_env):
+    """The fingerprint probe must land as a PartitionFilter on win_bucket —
+    the substring-tier twin of the exact/near plan assertions."""
+    from cargo_dupes_spark.streaming.incremental import (
+        WINNOW_TABLE,
+        pruned_winnow_state,
+    )
+
+    cfg, catalog, drop_dir, ckpt = stream_env
+    _pages(spark, SUB_WAVE1).coalesce(1).write.mode("append").parquet(drop_dir)
+    _drain_substr(read_web_pages_stream(spark, drop_dir), catalog, cfg, ckpt)
+    assert catalog.exists(WINNOW_TABLE)
+    plan = pruned_winnow_state(catalog, cfg, [0, 1])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "win_bucket" in plan
