@@ -9,8 +9,13 @@ over the corpus — all built-in aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TIERS = ("exact", "near", "substring")
 
 
 def compute_stats(fingerprints: DataFrame, memberships: DataFrame) -> DataFrame:
@@ -64,3 +69,81 @@ def compute_stats(fingerprints: DataFrame, memberships: DataFrame) -> DataFrame:
             )
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-latency-regime variant (VERDICT r4 #2a): the crossJoin plan above is
+# one serial multi-stage Spark job whose 3-5 s wall is the SAME at 2 and 32
+# cores (BASELINE.md cap #1). The split below computes the identical row
+# from (a) one corpus-totals aggregate the pipeline overlaps with the
+# clusters/memberships commits, and (b) ONE groupBy-tier pass over
+# memberships, assembled driver-side. (An Observation on the memberships
+# write cannot replace (b): observe() forbids distinct aggregates, and
+# {tier}_groups is a countDistinct.)
+# ---------------------------------------------------------------------------
+def stats_totals(fingerprints: DataFrame) -> DataFrame:
+    """Corpus totals half of the stats row — depends ONLY on fingerprints,
+    so the caller can run it concurrently with anything downstream."""
+    return fingerprints.agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+
+
+def tier_aggregates(fingerprints: DataFrame, memberships: DataFrame) -> DataFrame:
+    """Per-tier membership aggregates — one groupBy pass (<= |TIERS| rows)."""
+    with_tokens = memberships.join(
+        fingerprints.select("url", "n_tokens"), "url", "left"
+    )
+    return with_tokens.groupBy("tier").agg(
+        F.countDistinct("group_fp").cast("long").alias("groups"),
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tokens"),
+    )
+
+
+def _round_half_up6(value: float) -> float:
+    """Spark's round(double, 6): BigDecimal HALF_UP on the exact binary
+    value — Decimal(float) is that exact value; Python's round() is
+    half-even and would diverge at .xxxxxx5 boundaries."""
+    return float(
+        Decimal(value).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+STATS_SCHEMA = T.StructType(
+    [T.StructField("total_docs", T.LongType()), T.StructField("total_tokens", T.LongType())]
+    + [
+        T.StructField(f"{tier}_{c}", T.LongType())
+        if c != "token_percent"
+        else T.StructField(f"{tier}_token_percent", T.DoubleType())
+        for tier in TIERS
+        for c in ("groups", "docs", "tokens", "token_percent")
+    ]
+)
+
+
+def assemble_stats_row(
+    spark: SparkSession, totals_row, tier_rows
+) -> DataFrame:
+    """(collected totals row, collected tier rows) -> the SAME single-row
+    stats DataFrame compute_stats builds (schema, zero-guards and HALF_UP
+    rounding pinned against it in tests/test_check_report.py)."""
+    total_docs = int(totals_row["total_docs"])
+    total_tokens = int(totals_row["total_tokens"])
+    by_tier = {r["tier"]: r for r in tier_rows}
+    vals: list = [total_docs, total_tokens]
+    for tier in TIERS:
+        r = by_tier.get(tier)
+        groups = int(r["groups"]) if r else 0
+        docs = int(r["docs"]) if r else 0
+        tokens = int(r["tokens"]) if r else 0
+        pct = (
+            0.0
+            if total_tokens == 0
+            else _round_half_up6(tokens * 100.0 / total_tokens)
+        )
+        vals += [groups, docs, tokens, pct]
+    return spark.createDataFrame([tuple(vals)], STATS_SCHEMA)

@@ -33,7 +33,8 @@ from ..operators.exact import (
 )
 from ..operators.groups import cluster_memberships, filter_ignored
 from ..operators.lsh import minhash_bands, pairs_from_buckets, simhash_buckets
-from ..operators.stats import compute_stats
+from ..operators.connected_components import DRIVER_CC_THRESHOLD
+from ..operators.stats import assemble_stats_row, stats_totals, tier_aggregates
 from ..operators.substring import substring_candidates, verify_substring_pairs
 from ..operators.verify import verify_pairs
 from ..schemas import CANDIDATE_PAIRS, CLUSTERS, VERIFIED_EDGES
@@ -306,32 +307,85 @@ class Pipeline:
                 out = out.unionByName(p)
             return out
 
-        clusters = self._stage("clusters", build_clusters)
+        # ------------------------------------------------------------------
+        # trailing stages (clusters -> memberships -> stats) are the
+        # FIXED-LATENCY regime: each processes a few MB yet costs a serial
+        # Spark job at ANY core count (BASELINE.md cap #1, VERDICT r4 #2a).
+        # Three structural cuts:
+        #   * the stats corpus-totals aggregate depends only on fingerprints
+        #     — it runs on a driver thread UNDER the clusters/memberships
+        #     commits instead of serially after them;
+        #   * in the small-edge regime (edge count <= the CC driver
+        #     threshold, where connected_components returned a driver-backed
+        #     frame and re-deriving cluster labels is two tiny joins) the
+        #     clusters COMMIT runs on a thread while memberships consumes
+        #     the in-memory frame — one full stage of commit latency off the
+        #     critical path. Large edge sets keep the committed-read chain
+        #     (re-executing a corpus-sized cluster join to dodge a parquet
+        #     scan would be a bad trade at 100 TB);
+        #   * stats itself becomes ONE groupBy-tier pass + a driver-side
+        #     assembly (operators/stats.py) instead of the 4-branch
+        #     crossJoin job. Identical row, pinned by test.
+        # Resume contract unchanged: every stage still commits its table;
+        # a crash between the concurrent commits resumes whichever is
+        # missing (same config + inputs -> same output).
+        # ------------------------------------------------------------------
+        from concurrent.futures import ThreadPoolExecutor
 
-        def build_memberships() -> DataFrame:
-            parts = [exact]
-            for tier in active_tiers:
-                tier_clusters = clusters.filter(F.col("tier") == tier).select(
-                    "url", "cluster_id"
-                )
-                tier_edges = edges.filter(F.col("tier") == tier)
-                parts.append(
-                    cluster_memberships(
-                        tier_clusters, tier_edges, fingerprints, tier
-                    )
-                )
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return filter_ignored(
-                out, load_ignore(self.catalog, bits=cfg.fingerprint_bits)
+        edges_rows = self.stage_rows.get("verified_edges")
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            totals_fut = ex.submit(
+                lambda: stats_totals(fingerprints).collect()[0]
             )
 
-        memberships = self._stage("memberships", build_memberships)
+            clusters_fut = None
+            if self.resume and self.catalog.is_complete("clusters"):
+                clusters = self._stage("clusters", build_clusters)  # skip
+                mem_clusters = clusters
+            elif edges_rows is not None and edges_rows <= DRIVER_CC_THRESHOLD:
+                mem_clusters = build_clusters()  # eager CC work happens here
+                clusters_fut = ex.submit(
+                    self._stage, "clusters", lambda: mem_clusters, edges_rows
+                )
+            else:
+                clusters = self._stage("clusters", build_clusters)
+                mem_clusters = clusters
 
-        stats = self._stage(
-            "stats", lambda: compute_stats(fingerprints, memberships)
-        )
+            def build_memberships() -> DataFrame:
+                parts = [exact]
+                for tier in active_tiers:
+                    tier_clusters = mem_clusters.filter(
+                        F.col("tier") == tier
+                    ).select("url", "cluster_id")
+                    tier_edges = edges.filter(F.col("tier") == tier)
+                    parts.append(
+                        cluster_memberships(
+                            tier_clusters, tier_edges, fingerprints, tier
+                        )
+                    )
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return filter_ignored(
+                    out, load_ignore(self.catalog, bits=cfg.fingerprint_bits)
+                )
+
+            memberships = self._stage(
+                "memberships", build_memberships,
+                n_in=edges_rows if clusters_fut is not None else Pipeline._CHAIN,
+            )
+            if clusters_fut is not None:
+                clusters = clusters_fut.result()
+                self._prev_rows = self.stage_rows.get("memberships")
+
+            stats = self._stage(
+                "stats",
+                lambda: assemble_stats_row(
+                    self.spark,
+                    totals_fut.result(),
+                    tier_aggregates(fingerprints, memberships).collect(),
+                ),
+            )
 
         return {
             "fingerprints": fingerprints,

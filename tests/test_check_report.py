@@ -54,3 +54,43 @@ def test_reports(spark, fixture_corpus):
     assert len(payload["groups"]) == 1
     g = payload["groups"][0]
     assert g["n_members"] == 2 and len(g["fingerprint"]) == 16
+
+
+def test_assembled_stats_row_equals_compute_stats(spark, fixture_corpus):
+    """The fixed-latency-regime stats path (one groupBy-tier pass +
+    driver-side assembly with HALF_UP rounding) must produce the EXACT row
+    the reference crossJoin plan produces — schema and values."""
+    from cargo_dupes_spark.operators.stats import (
+        assemble_stats_row,
+        stats_totals,
+        tier_aggregates,
+    )
+
+    fps, memberships, stats = _stats(spark, fixture_corpus)
+    assembled = assemble_stats_row(
+        spark,
+        stats_totals(fps).collect()[0],
+        tier_aggregates(fps, memberships).collect(),
+    )
+    assert assembled.columns == stats.columns
+    assert assembled.collect() == stats.collect()
+
+
+def test_assembled_stats_row_empty_memberships(spark, fixture_corpus):
+    from cargo_dupes_spark.operators.stats import (
+        assemble_stats_row,
+        stats_totals,
+        tier_aggregates,
+    )
+
+    fps, _, _ = _stats(spark, fixture_corpus)
+    empty = spark.createDataFrame([], MEMBERSHIPS)
+    assembled = assemble_stats_row(
+        spark,
+        stats_totals(fps).collect()[0],
+        tier_aggregates(fps, empty).collect(),
+    )
+    row = assembled.collect()[0]
+    expected = compute_stats(fps, empty).collect()[0]
+    assert row == expected
+    assert row["exact_groups"] == 0 and row["near_token_percent"] == 0.0
