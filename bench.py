@@ -206,8 +206,38 @@ def calibrate_cpu(n: int, repeats: int = 3) -> float:
     return round(best, 3)
 
 
+def probe_window(
+    base_cpus: int,
+    min_ceiling: float = 0.9,
+    min_per_cpu_rate: float = 0.55,
+) -> dict:
+    """Pre-launch host-weather probe (VERDICT r4 #6): ~30 s of pure-CPU
+    spinners at N and 4N processes. A window is OK when (a) the pure-CPU
+    N->4N ceiling reads >= min_ceiling (vCPUs not collapsed) AND (b) the
+    ABSOLUTE per-cpu task rate is healthy (eight round-4 protocol runs:
+    every gate-passing window had per-cpu rates >= ~0.6 tasks/s; windows
+    probing clean ratios at 0.47-0.50 tasks/s soured mid-run)."""
+    hw_n = calibrate_cpu(base_cpus, repeats=3)
+    hw_4n = calibrate_cpu(base_cpus * 4, repeats=3)
+    ceiling = (hw_4n / hw_n) / 4.0 if hw_n else 0.0
+    per_cpu = hw_n / base_cpus
+    return {
+        "hw_tasks_per_sec": {str(base_cpus): hw_n, str(base_cpus * 4): hw_4n},
+        "ceiling": round(ceiling, 4),
+        "per_cpu_rate": round(per_cpu, 4),
+        "ok": bool(ceiling >= min_ceiling and per_cpu >= min_per_cpu_rate),
+    }
+
+
 def run_scaling(
-    sf_dir: str, base_cpus: int, mult: int, docs: int | None, repeats: int = 2
+    sf_dir: str,
+    base_cpus: int,
+    mult: int,
+    docs: int | None,
+    repeats: int = 2,
+    probe_gate: bool = False,
+    probe_max_waits: int = 6,
+    probe_wait_s: float = 120.0,
 ) -> dict:
     """Same job, same input, local[N] vs local[4N] in fresh JVMs.
 
@@ -217,7 +247,24 @@ def run_scaling(
     The input corpus is synthesized ONCE (full host parallelism — it is
     outside every measured window) and shared read-only by all child runs:
     every level at every repeat scans byte-identical parquet.
+
+    With ``probe_gate`` the launch waits for a clean host window: a pure-CPU
+    probe must pass before the measured runs start (abort-and-retry up to
+    probe_max_waits, every skipped window recorded in the JSON). The final
+    JSON always carries the launch probe and a window_ok flag; a clean
+    PRE-launch probe does not guarantee a clean run (windows sour mid-run —
+    r4 run 8), so window_ok_in_run reports the in-run calibration too.
     """
+    skipped: list[dict] = []
+    probe = probe_window(base_cpus)
+    if probe_gate:
+        waits = 0
+        while not probe["ok"] and waits < probe_max_waits:
+            skipped.append(probe)
+            time.sleep(probe_wait_s)
+            waits += 1
+            probe = probe_window(base_cpus)
+
     input_dir = tempfile.mkdtemp(prefix="bench_scaling_input_")
     input_path = os.path.join(input_dir, "web_pages")
     try:
@@ -309,6 +356,13 @@ def run_scaling(
         "normalized_eff_unclamped": round(min(raw_eff / hw_ceiling, 1.0), 4)
         if hw_ceiling > 0
         else None,
+        # pre-launch host-weather probe + gate outcome (VERDICT r4 #6):
+        # window_ok = the probe the run LAUNCHED under; window_ok_in_run =
+        # the in-run interleaved calibration stayed clean too
+        "probe": probe,
+        "window_ok": probe["ok"],
+        "window_ok_in_run": bool(hw_ceiling >= 0.85),
+        "skipped_windows": skipped,
         "runs": {str(c): rs for c, rs in results.items()},
         "sf": sf_dir if not docs else f"synthetic:{docs}",
     }
@@ -444,6 +498,13 @@ def main() -> int:
         help="pre-materialized web_pages parquet to scan instead of "
              "synthesizing (scaling mode shares one corpus this way)",
     )
+    p.add_argument(
+        "--probe-gate", action="store_true",
+        help="scaling mode: wait for a clean host window (pure-CPU probe) "
+             "before launching; skipped windows are recorded in the JSON",
+    )
+    p.add_argument("--probe-max-waits", type=int, default=6)
+    p.add_argument("--probe-wait-s", type=float, default=120.0)
     args = p.parse_args()
 
     if args.pipeline_once:
@@ -453,7 +514,9 @@ def main() -> int:
     elif args.scaling:
         out = run_scaling(
             args.sf_dir, args.scaling_base_cpus, args.mult, args.docs,
-            args.repeats,
+            args.repeats, probe_gate=args.probe_gate,
+            probe_max_waits=args.probe_max_waits,
+            probe_wait_s=args.probe_wait_s,
         )
     else:
         out = run_headline(args.sf_dir, args.cpus, args.mult, args.bench_repeats)
