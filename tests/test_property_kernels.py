@@ -184,3 +184,62 @@ def test_normalize_is_idempotent(raw):
         f"select {sql} from (select ? as t)", [once]
     ).fetchone()[0]
     assert twice == once, (raw, once, twice)
+
+
+# ---------------------------------------------------------------------------
+# media near-dup planted perturbations: the aHash Hamming distances the
+# driver oracle (media_near_dupes) rests on are ARITHMETIC facts — property-
+# test them over arbitrary images/audio, not just the generator's seeds
+# ---------------------------------------------------------------------------
+@st.composite
+def _images(draw):
+    h = draw(st.sampled_from([8, 16, 24]))
+    w = draw(st.sampled_from([8, 16, 32]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+
+
+def _ham64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+@settings(max_examples=40, deadline=None)
+@given(_images(), st.integers(1, 55))
+def test_brightness_shift_never_changes_ahash(img, shift):
+    from cargo_dupes_spark.operators.multimodal import _image_features
+
+    ph0, _ = _image_features(img)
+    ph1, _ = _image_features(img + np.uint8(shift))  # 199+55 < 255: no clip
+    assert _ham64(ph0, ph1) == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(_images())
+def test_extreme_block_swap_hamming_exactly_2(img):
+    from cargo_dupes_spark.operators.multimodal import (
+        _image_features,
+        swap_extreme_blocks,
+    )
+    from hypothesis import assume
+
+    try:
+        swapped = swap_extreme_blocks(img)
+    except ValueError:
+        assume(False)  # degenerate constant image — excluded by contract
+        return
+    ph0, _ = _image_features(img)
+    ph1, _ = _image_features(swapped)
+    assert _ham64(ph0, ph1) == 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(100, 4000))
+def test_audio_exact_doubling_never_changes_hash(seed, n):
+    from cargo_dupes_spark.operators.multimodal import _audio_features
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-16000, 16000, size=n).astype(np.int16)
+    ph0, _ = _audio_features(x)
+    ph1, _ = _audio_features((x.astype(np.int32) * 2).astype(np.int16))
+    assert _ham64(ph0, ph1) == 0
