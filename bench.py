@@ -206,6 +206,49 @@ def calibrate_cpu(n: int, repeats: int = 3) -> float:
     return round(best, 3)
 
 
+def _mem_stream(_):
+    """One worker's DRAM-streaming task: allocate a 256 MB float64 array
+    (far beyond L3) and stream-read it repeatedly. Returns nothing; the
+    caller times the pool wall. The traffic is ~256 MB written (the
+    ``full`` fill) + 24 x 256 MB read = ~6.25 GB per task, all of it
+    forced through the memory bus (a.sum() over 32M contiguous doubles
+    cannot cache-resident)."""
+    import numpy as _np
+
+    a = _np.full(32 * 1024 * 1024, 1.0, dtype=_np.float64)  # 256 MB
+    s = 0.0
+    for _ in range(24):
+        s += float(a.sum())
+    return s
+
+
+_MEM_BYTES_PER_TASK = 32 * 1024 * 1024 * 8 * 25  # 1 write + 24 read passes
+
+
+def calibrate_membw(n: int, repeats: int = 3) -> float:
+    """Aggregate DRAM streaming bandwidth (GB/s) of n concurrent
+    processes. This is the OTHER hardware ceiling beside calibrate_cpu's
+    pure-CPU one: on this host the memory bus saturates at ~2-3 streaming
+    cores, so any bandwidth-bound stage (the Arrow sketch kernels + parquet
+    writes of the signatures stage, the shingle-array shuffles of verify)
+    cannot scale 4x over 4x cores NO MATTER WHAT THE PLAN DOES — each
+    executor on a real cluster owns its DRAM, so this ceiling is sandbox
+    physics, not plan shape. Reported as an INSTRUMENT next to the raw and
+    CPU-normalized efficiencies; deliberately NOT folded into the
+    normalization (a job grading itself on a bandwidth curve it sets would
+    be circular — see BASELINE.md host pathology #2)."""
+    import multiprocessing as mp
+
+    best = 0.0
+    for _ in range(repeats):
+        with mp.Pool(n) as p:
+            t0 = time.monotonic()
+            p.map(_mem_stream, range(n))
+            wall = time.monotonic() - t0
+            best = max(best, n * _MEM_BYTES_PER_TASK / wall / 1e9)
+    return round(best, 2)
+
+
 def probe_window(
     base_cpus: int,
     min_ceiling: float = 0.9,
@@ -264,6 +307,15 @@ def run_scaling(
             time.sleep(probe_wait_s)
             waits += 1
             probe = probe_window(base_cpus)
+
+    # DRAM-bandwidth instrument, sampled at launch (adjacent to the probe
+    # the run starts under): aggregate streaming GB/s at N and 4N procs and
+    # their ratio/4 — the bandwidth analogue of hw_ceiling_eff. A
+    # bandwidth-bound stage's best possible N->4N scaling is THIS number,
+    # not 1.0; recorded as evidence, never folded into normalized_eff.
+    membw_n = calibrate_membw(base_cpus)
+    membw_4n = calibrate_membw(base_cpus * 4)
+    membw_ceiling = (membw_4n / membw_n) / 4.0 if membw_n else 0.0
 
     input_dir = tempfile.mkdtemp(prefix="bench_scaling_input_")
     input_path = os.path.join(input_dir, "web_pages")
@@ -359,6 +411,14 @@ def run_scaling(
         # pre-launch host-weather probe + gate outcome (VERDICT r4 #6):
         # window_ok = the probe the run LAUNCHED under; window_ok_in_run =
         # the in-run interleaved calibration stayed clean too
+        # DRAM streaming bandwidth at N and 4N procs (GB/s) + its N->4N
+        # ceiling: the measured upper bound for any bandwidth-bound stage
+        # on this shared-bus host (instrument only — see calibrate_membw)
+        "membw_gbps": {
+            str(base_cpus): membw_n,
+            str(base_cpus * 4): membw_4n,
+        },
+        "membw_ceiling": round(membw_ceiling, 4),
         "probe": probe,
         "window_ok": probe["ok"],
         "window_ok_in_run": bool(hw_ceiling >= 0.85),
@@ -505,7 +565,25 @@ def main() -> int:
     )
     p.add_argument("--probe-max-waits", type=int, default=6)
     p.add_argument("--probe-wait-s", type=float, default=120.0)
+    p.add_argument(
+        "--membw", action="store_true",
+        help="measure the DRAM streaming-bandwidth ceiling at "
+             "--scaling-base-cpus vs 4x and exit (instrument only)",
+    )
     args = p.parse_args()
+
+    if args.membw:
+        n = args.scaling_base_cpus
+        bw_n = calibrate_membw(n)
+        bw_4n = calibrate_membw(n * 4)
+        out = {
+            "metric": "membw_ceiling",
+            "value": round((bw_4n / bw_n) / 4.0, 4) if bw_n else None,
+            "unit": "fraction",
+            "membw_gbps": {str(n): bw_n, str(n * 4): bw_4n},
+        }
+        print(json.dumps(out))
+        return 0
 
     if args.pipeline_once:
         out = run_pipeline_once(
