@@ -281,6 +281,8 @@ def run_scaling(
     probe_gate: bool = False,
     probe_max_waits: int = 6,
     probe_wait_s: float = 120.0,
+    probe_min_ceiling: float = 0.9,
+    probe_min_rate: float = 0.55,
 ) -> dict:
     """Same job, same input, local[N] vs local[4N] in fresh JVMs.
 
@@ -299,14 +301,14 @@ def run_scaling(
     r4 run 8), so window_ok_in_run reports the in-run calibration too.
     """
     skipped: list[dict] = []
-    probe = probe_window(base_cpus)
+    probe = probe_window(base_cpus, probe_min_ceiling, probe_min_rate)
     if probe_gate:
         waits = 0
         while not probe["ok"] and waits < probe_max_waits:
             skipped.append(probe)
             time.sleep(probe_wait_s)
             waits += 1
-            probe = probe_window(base_cpus)
+            probe = probe_window(base_cpus, probe_min_ceiling, probe_min_rate)
 
     # DRAM-bandwidth instrument, sampled at launch (adjacent to the probe
     # the run starts under): aggregate streaming GB/s at N and 4N procs and
@@ -566,6 +568,15 @@ def main() -> int:
     p.add_argument("--probe-max-waits", type=int, default=6)
     p.add_argument("--probe-wait-s", type=float, default=120.0)
     p.add_argument(
+        "--probe-min-ceiling", type=float, default=0.9,
+        help="probe gate: minimum pure-CPU N->4N ceiling to launch",
+    )
+    p.add_argument(
+        "--probe-min-rate", type=float, default=0.55,
+        help="probe gate: minimum absolute per-cpu task rate to launch "
+             "(healthy windows on this host read >= ~0.6)",
+    )
+    p.add_argument(
         "--membw", action="store_true",
         help="measure the DRAM streaming-bandwidth ceiling at "
              "--scaling-base-cpus vs 4x and exit (instrument only)",
@@ -595,6 +606,8 @@ def main() -> int:
             args.repeats, probe_gate=args.probe_gate,
             probe_max_waits=args.probe_max_waits,
             probe_wait_s=args.probe_wait_s,
+            probe_min_ceiling=args.probe_min_ceiling,
+            probe_min_rate=args.probe_min_rate,
         )
     else:
         out = run_headline(args.sf_dir, args.cpus, args.mult, args.bench_repeats)
