@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..contracts import assert_unique_ids
+
 
 def cosine_col(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two float arrays — zip_with/aggregate, JVM-side."""
@@ -175,7 +177,11 @@ def _pair_vectors(
     verify shapes) inherit this. A row whose ``vec_col`` is NULL likewise
     drops at the isNotNull filter (the old inner-join shape kept it with a
     NULL cosine that fell out of ranking); null vectors are out of contract
-    for every public caller in this module."""
+    for every public caller in this module.
+
+    Set CARGO_DUPES_DEBUG_CONTRACTS=1 to assert the contract per call
+    (one id-only aggregate; see cargo_dupes_spark/contracts.py)."""
+    assert_unique_ids(embeddings, id_col, "_pair_vectors(embeddings)")
     exploded = nid_pairs.select(
         "nid_a",
         "nid_b",

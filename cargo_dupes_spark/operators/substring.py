@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import PipelineConfig
+from ..contracts import assert_unique_ids
 
 _B = np.uint64(0x9E3779B97F4A7C15)  # odd => invertible mod 2^64
 _B_INV = np.uint64(pow(int(_B), -1, 1 << 64))
@@ -293,6 +294,9 @@ def verify_substring_pairs(
     # to light (pair, url, side) rows, ONE inner join pulls norm_text, and
     # the groupBy reassembles (text_a, text_b) in an exchange sized by the
     # candidate set, not the corpus.
+    assert_unique_ids(
+        fingerprints, "url", "verify_substring_pairs(fingerprints)"
+    )
     exploded = pairs.select(
         "url_a",
         "url_b",

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
+from ..contracts import assert_unique_ids
 from ..functions.shingles import jaccard_col
 from ..functions.simhash import hamming_col
 
@@ -45,7 +46,11 @@ def verify_pairs(
     by a url equality filter BEFORE the reassembly groupBy — the true row
     always survives it, the foreign one never reaches the group. AQE
     handles residual skew (hot urls appear in many pairs).
+
+    Set CARGO_DUPES_DEBUG_CONTRACTS=1 to assert the one-row-per-url
+    contract on ``signatures`` per call (contracts.py, ADVICE r4).
     """
+    assert_unique_ids(signatures, "url", "verify_pairs(signatures)")
     exploded = pairs.select(
         "url_a",
         "url_b",
