@@ -253,23 +253,40 @@ def probe_window(
     base_cpus: int,
     min_ceiling: float = 0.9,
     min_per_cpu_rate: float = 0.55,
+    min_membw: float = 0.0,
 ) -> dict:
     """Pre-launch host-weather probe (VERDICT r4 #6): ~30 s of pure-CPU
     spinners at N and 4N processes. A window is OK when (a) the pure-CPU
     N->4N ceiling reads >= min_ceiling (vCPUs not collapsed) AND (b) the
     ABSOLUTE per-cpu task rate is healthy (eight round-4 protocol runs:
     every gate-passing window had per-cpu rates >= ~0.6 tasks/s; windows
-    probing clean ratios at 0.47-0.50 tasks/s soured mid-run)."""
+    probing clean ratios at 0.47-0.50 tasks/s soured mid-run).
+
+    With ``min_membw`` > 0 the probe ALSO requires the DRAM-streaming
+    N->4N ceiling to read >= min_membw. The bus ceiling swings with host
+    weather like the CPU one does (recorded launch-adjacent samples range
+    0.55-0.88 for the (2,8) pair) — and protocol run 10 showed that in a
+    0.98-CPU window the job reads exactly the stage-weighted blend of the
+    CPU and bus ceilings, so a window where BOTH instruments read healthy
+    is the only kind in which the blended raw figure can clear the gate."""
     hw_n = calibrate_cpu(base_cpus, repeats=3)
     hw_4n = calibrate_cpu(base_cpus * 4, repeats=3)
     ceiling = (hw_4n / hw_n) / 4.0 if hw_n else 0.0
     per_cpu = hw_n / base_cpus
-    return {
+    out = {
         "hw_tasks_per_sec": {str(base_cpus): hw_n, str(base_cpus * 4): hw_4n},
         "ceiling": round(ceiling, 4),
         "per_cpu_rate": round(per_cpu, 4),
         "ok": bool(ceiling >= min_ceiling and per_cpu >= min_per_cpu_rate),
     }
+    if min_membw > 0.0:
+        bw_n = calibrate_membw(base_cpus, repeats=2)
+        bw_4n = calibrate_membw(base_cpus * 4, repeats=2)
+        bw_ceiling = (bw_4n / bw_n) / 4.0 if bw_n else 0.0
+        out["membw_gbps"] = {str(base_cpus): bw_n, str(base_cpus * 4): bw_4n}
+        out["membw_ceiling"] = round(bw_ceiling, 4)
+        out["ok"] = bool(out["ok"] and bw_ceiling >= min_membw)
+    return out
 
 
 def run_scaling(
@@ -283,6 +300,7 @@ def run_scaling(
     probe_wait_s: float = 120.0,
     probe_min_ceiling: float = 0.9,
     probe_min_rate: float = 0.55,
+    probe_min_membw: float = 0.0,
 ) -> dict:
     """Same job, same input, local[N] vs local[4N] in fresh JVMs.
 
@@ -301,14 +319,18 @@ def run_scaling(
     r4 run 8), so window_ok_in_run reports the in-run calibration too.
     """
     skipped: list[dict] = []
-    probe = probe_window(base_cpus, probe_min_ceiling, probe_min_rate)
+    probe = probe_window(
+        base_cpus, probe_min_ceiling, probe_min_rate, probe_min_membw
+    )
     if probe_gate:
         waits = 0
         while not probe["ok"] and waits < probe_max_waits:
             skipped.append(probe)
             time.sleep(probe_wait_s)
             waits += 1
-            probe = probe_window(base_cpus, probe_min_ceiling, probe_min_rate)
+            probe = probe_window(
+                base_cpus, probe_min_ceiling, probe_min_rate, probe_min_membw
+            )
 
     # DRAM-bandwidth instrument, sampled at launch (adjacent to the probe
     # the run starts under): aggregate streaming GB/s at N and 4N procs and
@@ -577,6 +599,12 @@ def main() -> int:
              "(healthy windows on this host read >= ~0.6)",
     )
     p.add_argument(
+        "--probe-min-membw", type=float, default=0.0,
+        help="probe gate: also require the DRAM-streaming N->4N ceiling "
+             ">= this (0 = don't gate on the bus; launch-adjacent samples "
+             "on this host range 0.55-0.88)",
+    )
+    p.add_argument(
         "--membw", action="store_true",
         help="measure the DRAM streaming-bandwidth ceiling at "
              "--scaling-base-cpus vs 4x and exit (instrument only)",
@@ -608,6 +636,7 @@ def main() -> int:
             probe_wait_s=args.probe_wait_s,
             probe_min_ceiling=args.probe_min_ceiling,
             probe_min_rate=args.probe_min_rate,
+            probe_min_membw=args.probe_min_membw,
         )
     else:
         out = run_headline(args.sf_dir, args.cpus, args.mult, args.bench_repeats)
