@@ -44,6 +44,8 @@ from cargo_dupes_spark.operators.dedup import (
     NEAR_SUFFIX,
     SPAN_COPY_MOD,
     SPAN_COPY_OFFSET,
+    _norm_group_keys,
+    fan_out,
     load_documents,
     load_embeddings,
     normalized,
@@ -107,9 +109,12 @@ def _q_lang_partition(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
-    # G2/G4 duplication stats over the exact-copy union
-    docs = normalized(with_exact_copies(load_documents(spark, sf)))
-    sized = docs.groupBy("norm_text").agg(
+    # G2/G4 duplication stats over the exact-copy union. Grouping keys are
+    # the 128-bit-hash+length surrogate for norm_text (dedup._norm_group_keys
+    # — partition-identical to GROUP BY norm_text, guide §2.3: the exchange
+    # carries 20 B/row instead of the full document text)
+    docs = normalized(fan_out(with_exact_copies(load_documents(spark, sf))))
+    sized = docs.groupBy(*_norm_group_keys()).agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
     )
     return sized.agg(
@@ -162,36 +167,67 @@ def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
         ],
         docs.schema,
     )
-    both = docs.unionByName(planted)
-    return both.select(
-        "doc_id",
-        is_boilerplate_col(normalize_text_col("text", CFG)).alias("is_boilerplate"),
-    ).orderBy("doc_id")
+    both = fan_out(docs.unionByName(planted))
+    # bound-attribute norm_text: is_boilerplate_col reads its input once per
+    # contains pattern — a separate projection keeps the regex chain single
+    return (
+        both.select(
+            "doc_id", normalize_text_col("text", CFG).alias("_norm")
+        )
+        .select(
+            "doc_id", is_boilerplate_col("_norm").alias("is_boilerplate")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _single_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally sorted output as ONE sorted partition. Identical rows in
+    identical order to .orderBy(*cols), but without the range-partitioning
+    sampling pass, which re-executes the whole child plan — for a map-only
+    query that means every expensive projection (regex normalize, stopword
+    intersects) ran TWICE per invocation (guide §2.4: an orderBy used only
+    to make output deterministic). Outputs here are a few MB, so the single
+    sort task is trivial; the expensive projection stays fully parallel in
+    the map stage."""
+    return df.repartition(1).sortWithinPartitions(*cols)
 
 
 def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_documents(spark, sf)
-    return docs.select(
+    docs = fan_out(load_documents(spark, sf))
+    return _single_sorted(
+        docs.select(
+            "doc_id",
+            (F.round(quality_score_col("text") * 1e6)).cast("long").alias("quality_e6"),
+        ),
         "doc_id",
-        (F.round(quality_score_col("text") * 1e6)).cast("long").alias("quality_e6"),
-    ).orderBy("doc_id")
+    )
 
 
 def _q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_documents(spark, sf)
-    return docs.select(
+    docs = fan_out(load_documents(spark, sf))
+    return _single_sorted(
+        docs.select(
+            "doc_id",
+            whitespace_token_count_col("text").cast("long").alias("ws_tokens"),
+            token_count_col("text").cast("long").alias("subword_tokens"),
+        ),
         "doc_id",
-        whitespace_token_count_col("text").cast("long").alias("ws_tokens"),
-        token_count_col("text").cast("long").alias("subword_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_documents(spark, sf)
-    return docs.select(
+    docs = fan_out(load_documents(spark, sf))
+    # norm_text as a BOUND attribute in its own projection: lang_id_col
+    # references its input many times and Catalyst would otherwise inline
+    # the 5-pass regex chain into every reference (guide §2.3 project
+    # discipline; codegen CSE does not catch the conditional branches)
+    return _single_sorted(
+        docs.select(
+            "doc_id", normalize_text_col("text", CFG).alias("_norm")
+        ).select("doc_id", lang_id_col("_norm").alias("lang_guess")),
         "doc_id",
-        lang_id_col(normalize_text_col("text", CFG)).alias("lang_guess"),
-    ).orderBy("doc_id")
+    )
 
 
 def _q_doc_segments(spark: SparkSession, sf: str) -> DataFrame:
@@ -200,7 +236,7 @@ def _q_doc_segments(spark: SparkSession, sf: str) -> DataFrame:
     # ' table ' occurrence becomes a paragraph boundary on BOTH sides)
     from cargo_dupes_spark.functions.segments import segment_paragraphs
 
-    docs = load_documents(spark, sf).select(
+    docs = fan_out(load_documents(spark, sf)).select(
         "doc_id", F.regexp_replace("text", " table ", "\n\n").alias("text")
     )
     return segment_paragraphs(docs).orderBy("doc_id", "seg_idx")
@@ -248,7 +284,7 @@ def _q_events_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf}/events.parquet")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-    return (
+    return _single_sorted(
         ev.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select(
@@ -256,8 +292,9 @@ def _q_events_topk(spark: SparkSession, sf: str) -> DataFrame:
             "event_id",
             (F.round(F.col("value") * 1e6)).cast("long").alias("value_e6"),
             "rnk",
-        )
-        .orderBy("user_id", "rnk")
+        ),
+        "user_id",
+        "rnk",
     )
 
 

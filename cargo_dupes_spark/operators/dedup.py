@@ -113,6 +113,19 @@ def with_span_copies(docs: DataFrame) -> DataFrame:
     return docs.unionByName(copies)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count (guide §2.5:
+    input skew from an unsplittable file -> repartition right after the
+    read). The driver tables are ONE parquet file with ONE row group, so a
+    scan — and every projection chained onto it (the 5-pass regex
+    normalize, shingles, sketch UDFs) — runs as a single task regardless of
+    split size. Shuffling the raw rows first costs one lightweight exchange
+    and buys full-core parallelism for everything downstream. Sized from
+    defaultParallelism (cluster-adaptive), never a constant."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def normalized(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
@@ -124,12 +137,30 @@ def normalized(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # the queries
 # ---------------------------------------------------------------------------
+def _norm_group_keys() -> list:
+    """Group keys equivalent to grouping by norm_text itself, at 20 bytes
+    instead of the full document: two independently-seeded xxhash64 halves
+    (the same 128-bit construction as functions/fingerprint.py, collision
+    ~2^-128 per pair — the width the exact_dup_groups_wide oracle already
+    pins as partition-identical to norm_text) plus length(norm_text), which
+    also keeps NULL (length NULL) distinct from '' (length 0) exactly as
+    SQL GROUP BY does. Guide §2.3: shuffle keys, not payloads — the
+    groupBy(norm_text) exchange carried ~1.3 KB of text per row."""
+    from ..functions.fingerprint import _WIDE_SEED
+
+    return [
+        F.xxhash64(F.lit(_WIDE_SEED), "norm_text").alias("_h1"),
+        F.xxhash64("norm_text").alias("_h2"),
+        F.length("norm_text").alias("_hl"),
+    ]
+
+
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[G1] exact tier over the exact-copy union: one row per duplicate
     group keyed by its smallest doc_id."""
-    docs = normalized(with_exact_copies(load_documents(spark, sf_dir)))
+    docs = normalized(fan_out(with_exact_copies(load_documents(spark, sf_dir))))
     return (
-        docs.groupBy("norm_text")
+        docs.groupBy(*_norm_group_keys())
         .agg(
             F.min("doc_id").alias("rep_id"),
             F.count(F.lit(1)).alias("n_members"),

@@ -151,9 +151,29 @@ class Pipeline:
         self._prev_rows = self.stage_rows.get(specs[-1][0])
         return outs
 
+    def _fan_out_input(self, web_pages: DataFrame) -> DataFrame:
+        """Parallelize an under-partitioned input before the fingerprints
+        stage (guide §2.5: one huge unsplittable file -> repartition right
+        after the read). The driver corpora arrive as a single one-row-group
+        parquet file (or a lazy expansion of one), so the scan — and the
+        whole normalize/fingerprint projection chained onto it — would run
+        as ONE task at any core count. A well-partitioned input (the scaling
+        protocol's 64-file synthetic corpus, any real multi-file table) is
+        left untouched: the condition is partitions < cores, both taken
+        from the session, so this is a no-op at cluster scale."""
+        sc = self.spark.sparkContext
+        try:
+            cur = web_pages.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - exotic plans; keep input as-is
+            return web_pages
+        if cur >= sc.defaultParallelism:
+            return web_pages
+        return web_pages.repartition(2 * sc.defaultParallelism)
+
     # ------------------------------------------------------------------
     def run(self, web_pages: DataFrame) -> dict[str, DataFrame]:
         cfg = self.cfg
+        web_pages = self._fan_out_input(web_pages)
 
         # checkpoint UNGATED columns, gate the materialized read: the gates
         # become parquet-scan predicates instead of forcing the normalize
