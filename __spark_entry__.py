@@ -236,7 +236,7 @@ def _q_doc_segments(spark: SparkSession, sf: str) -> DataFrame:
     # ' table ' occurrence becomes a paragraph boundary on BOTH sides)
     from cargo_dupes_spark.functions.segments import segment_paragraphs
 
-    docs = fan_out(load_documents(spark, sf)).select(
+    docs = load_documents(spark, sf).select(
         "doc_id", F.regexp_replace("text", " table ", "\n\n").alias("text")
     )
     return segment_paragraphs(docs).orderBy("doc_id", "seg_idx")

@@ -40,16 +40,35 @@ NORM_STEPS: list[tuple[str, str, str | None]] = [
 ]
 
 
+# literal substring every match of the pattern must contain — a cheap
+# contains() pre-check skips the full regex pass (and its output string
+# rebuild) on rows that cannot match. Byte-identical: regexp_replace with
+# zero matches returns its input unchanged. Spark-side only; the oracle SQL
+# rendering below is untouched.
+_MASK_GUARDS: dict[str, str] = {
+    r"https?://[^\s]+": "http",
+    r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}": "@",
+}
+
+
 def normalize_text_col(col: Column | str, cfg=None) -> Column:
     """norm_text as a pure built-in expression chain (lower → translate →
-    regexp masks → collapse → trim). Stays inside WholeStageCodegen."""
+    regexp masks → collapse → trim). Stays inside WholeStageCodegen; the
+    guarded masks rely on codegen subexpression elimination evaluating the
+    shared input chain once (the contains() condition is unconditional)."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(c)
     c = F.translate(c, _TRANSLATE_FROM, _TRANSLATE_TO)
     for pattern, repl, flag in NORM_STEPS:
         if flag is not None and cfg is not None and not getattr(cfg, flag):
             continue
-        c = F.regexp_replace(c, pattern, repl)
+        guard = _MASK_GUARDS.get(pattern)
+        if guard is not None:
+            c = F.when(
+                c.contains(guard), F.regexp_replace(c, pattern, repl)
+            ).otherwise(c)
+        else:
+            c = F.regexp_replace(c, pattern, repl)
     return F.trim(c)
 
 

@@ -182,7 +182,7 @@ def minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF chain re-runs once per consumer (the production Pipeline checkpoints
     every stage to the catalog instead)."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
-    sigs = _signatures_from(docs).localCheckpoint()
+    sigs = _signatures_from(docs).localCheckpoint(eager=False)
     pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near", urls=sigs)
     edges = verify_pairs(pairs, sigs, CFG)
     return edges.select(
@@ -194,10 +194,10 @@ def minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_clusters(spark: SparkSession, sf_dir: str, id_bits: int) -> DataFrame:
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
-    sigs = _signatures_from(docs).localCheckpoint()
+    sigs = _signatures_from(docs).localCheckpoint(eager=False)
     pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near", urls=sigs)
     # CC reads the edge set repeatedly (node extraction + round 0) — pin it
-    edges = verify_pairs(pairs, sigs, CFG).localCheckpoint()
+    edges = verify_pairs(pairs, sigs, CFG).localCheckpoint(eager=False)
     clusters = connected_components(edges, id_bits=id_bits).select(
         F.col("url").cast("long").alias("doc_id"), "cluster_id"
     )
@@ -262,7 +262,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         sh.withColumn("simhash", simhash_udf()(F.col("shingles")))
         .select("url", "lang", "simhash")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pairs, _ = pairs_from_buckets(simhash_buckets(sigs, CFG), CFG, "simhash", urls=sigs)
     a = sigs.select(F.col("url").alias("url_a"), F.col("simhash").alias("sh_a"))
@@ -314,10 +314,12 @@ def substring_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its first-occurrence offset equals strpos()-1."""
     from ..operators.substring import substring_candidates, verify_substring_pairs
 
-    docs = normalized(with_span_copies(load_documents(spark, sf_dir)))
+    # fan_out: the winnow UDF over the slice would otherwise run as one task
+    # (single-row-group input file)
+    docs = normalized(fan_out(with_span_copies(load_documents(spark, sf_dir))))
     fps = docs.select(
         F.col("doc_id").cast("string").alias("url"), "lang", "norm_text"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pairs, _ = substring_candidates(fps, CFG)
     edges = verify_substring_pairs(pairs, fps, CFG)
     la = F.col("url_a").cast("long")

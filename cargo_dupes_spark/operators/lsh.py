@@ -92,7 +92,7 @@ FLAGGED_SCHEMA = (
 
 
 def nid_pairs_from_buckets(
-    bucketed: DataFrame, cfg: PipelineConfig
+    bucketed: DataFrame, cfg: PipelineConfig, dedup_buckets: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Core pair generation over (nid BIGINT, band_id, band_key) bucket rows
     -> (nid pairs with nid_a < nid_b, flagged-bucket accounting).
@@ -188,6 +188,18 @@ def nid_pairs_from_buckets(
         .withColumn("sz", F.size("us"))
         .filter(F.col("sz") > 1)
     )
+    if dedup_buckets:
+        # near-identical docs collide in MANY bands, producing the same
+        # member set once per band — and every copy would expand to the
+        # same C(sz,2) pairs, all killed later by the pair-level dedup.
+        # Deduplicating BUCKETS first (one small exchange of the sorted
+        # member arrays) shrinks the pair explosion + its dedup shuffle by
+        # the band-collision factor (measured 230x pair duplication at the
+        # bench corpus; a band's bucket is <= max_bucket_size*salt members,
+        # so the dedup rows are bounded). Callers whose tables rarely repeat
+        # a member set (independent hyperplane tables, IVF centroids) pass
+        # False — for them the extra exchange buys nothing.
+        grouped = grouped.dropDuplicates(["us"])
     us = F.col("us")
     pairs_arr = F.flatten(
         F.transform(

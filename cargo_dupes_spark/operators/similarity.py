@@ -149,7 +149,9 @@ def _ann_candidate_pairs(
             F.xxhash64("band_id", "raw_key").alias("band_key"),
         )
     )
-    return nid_pairs_from_buckets(bucketed, cfg)
+    # independent hyperplane tables rarely produce identical member sets —
+    # the bucket-level dedup pass would be a pure extra exchange here
+    return nid_pairs_from_buckets(bucketed, cfg, dedup_buckets=False)
 
 
 def _pair_vectors(
@@ -361,7 +363,8 @@ def ivf_topk(
     cfg = PipelineConfig(
         max_bucket_size=max_bucket_size, salt_buckets=salt_buckets
     )
-    nid_pairs, _ = nid_pairs_from_buckets(bucketed, cfg)
+    # one bucket per (probe rank, centroid) — member sets don't repeat
+    nid_pairs, _ = nid_pairs_from_buckets(bucketed, cfg, dedup_buckets=False)
     return _topk_from_pairs(nid_pairs, embeddings, k, id_col, vec_col)
 
 

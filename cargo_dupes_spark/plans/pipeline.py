@@ -95,6 +95,9 @@ class Pipeline:
                 self._prev_rows = None  # chain broken by skip; n_in unknown
             return out
         t0 = time.monotonic()
+        # label the stage's jobs in the UI/REST metrics (guide §1.5);
+        # thread-local, so concurrent stage commits stay labeled correctly
+        self.spark.sparkContext.setJobDescription(f"stage:{name}")
         df = build()
         obs = None
         if "extract_error" in df.columns:
@@ -122,6 +125,7 @@ class Pipeline:
                 "wall_seconds": time.monotonic() - t0,
             },
         )
+        self.spark.sparkContext.setJobDescription(None)
         self.stage_log.append(f"run:{name}")
         self.stage_rows[name] = n_rows
         if chained:

@@ -56,6 +56,15 @@ def build_session(
         # ~2-4 splits per core at bench scale; a 1000-executor 100 TB run
         # has thousands of files and would raise this back toward 128-256 MB.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # open-cost padding sizes scan splits as max(openCost, bytes/cores):
+        # the default 4 MB floor packs small-but-CPU-dense tables (zstd
+        # checkpoint tables compress norm_text/shingles ~8x) into 2-3 read
+        # tasks, serializing the shingle/sketch stages that scan them. 256 KB
+        # keeps the floor for truly tiny files while letting compressed stage
+        # tables split to one task per core (bytes/cores term). At 100 TB
+        # files are >=128 MB and openCost never binds, so this is local-safe
+        # and cluster-neutral.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         # zstd checkpoint tables: stage outputs are text-heavy (norm_text,
         # shingles) and every stage boundary is a write+read — zstd's ~2x
         # better ratio on text converts memory/IO bandwidth (the resource

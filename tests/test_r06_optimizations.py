@@ -1,0 +1,144 @@
+"""Round-6 optimization pins: every rewrite in this round must be
+output-identical to the shape it replaced. Each test compares the optimized
+implementation against an inline reconstruction of the pre-optimization one
+on data chosen to include the edge cases the rewrite could plausibly break
+(NULL vs empty text, mask patterns, duplicate buckets, under-partitioned
+input)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cargo_dupes_spark.config import PipelineConfig
+from cargo_dupes_spark.functions import normalize as nm
+from cargo_dupes_spark.operators import dedup
+from cargo_dupes_spark.operators.lsh import nid_pairs_from_buckets
+
+
+CFG = PipelineConfig()
+
+
+def _old_normalize(col):
+    """The pre-guard normalization chain (unconditional regex passes)."""
+    c = F.lower(F.col(col))
+    c = F.translate(c, nm._TRANSLATE_FROM, nm._TRANSLATE_TO)
+    for pattern, repl, _flag in nm.NORM_STEPS:
+        c = F.regexp_replace(c, pattern, repl)
+    return F.trim(c)
+
+
+ADVERSARIAL_TEXTS = [
+    ("Visit HTTP://Example.COM/x?q=1 and http://a.b now",),
+    ("mail Me@Foo.ORG or bob@sub.domain.co ok",),
+    ("pi is 3.14 and the answer is 42",),
+    ("“smart quotes” – en dash — em nbsp",),
+    ("",),
+    (None,),
+    ("http:// bare prefix @ bare at 9",),
+    ("a  b\t\nc   d",),
+    ("no masks here at all plain words",),
+    ("https://x.y z@w.co 1.2.3",),
+]
+
+
+def test_guarded_normalize_identical_to_unguarded(spark):
+    df = spark.createDataFrame(ADVERSARIAL_TEXTS, "text string")
+    diff = (
+        df.select(
+            _old_normalize("text").alias("a"),
+            nm.normalize_text_col("text", CFG).alias("b"),
+        )
+        .filter("a is distinct from b")
+        .count()
+    )
+    assert diff == 0
+
+
+def test_guarded_normalize_identical_on_fixture_docs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    diff = (
+        docs.select(
+            _old_normalize("text").alias("a"),
+            nm.normalize_text_col("text", CFG).alias("b"),
+        )
+        .filter("a is distinct from b")
+        .count()
+    )
+    assert diff == 0
+
+
+def test_norm_group_keys_partition_like_norm_text(spark):
+    # includes the NULL-vs-empty trap: xxhash64(NULL) == xxhash64('') in
+    # Spark (null inputs are skipped), so the length column must separate
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha beta"),
+        (3, "alpha  beta"),
+        (4, ""),
+        (5, ""),
+        (6, None),
+        (7, None),
+        (8, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, norm_text string")
+    by_text = {
+        tuple(sorted(r["ids"]))
+        for r in df.groupBy("norm_text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .collect()
+    }
+    by_keys = {
+        tuple(sorted(r["ids"]))
+        for r in df.groupBy(*dedup._norm_group_keys())
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .collect()
+    }
+    assert by_text == by_keys
+    assert (1, 2) in by_keys  # equal texts group
+    assert (4, 5) in by_keys and (6, 7) in by_keys  # '' and NULL separate
+
+
+def test_bucket_dedup_pair_set_identical(spark):
+    # buckets engineered so the same member set appears in many bands (the
+    # dedup target), plus overlapping-but-distinct buckets and a singleton
+    rows = []
+    for band in range(6):  # identical member set across 6 bands
+        for nid in (10, 11, 12):
+            rows.append((nid, band, 1000 + band))
+    for nid in (11, 12, 13):  # overlapping, distinct set
+        rows.append((nid, 0, 2000))
+    rows.append((99, 0, 3000))  # singleton bucket -> no pairs
+    df = spark.createDataFrame(rows, "nid long, band_id int, band_key long")
+    cfg = PipelineConfig()
+    with_dedup, _ = nid_pairs_from_buckets(df, cfg, dedup_buckets=True)
+    without, _ = nid_pairs_from_buckets(df, cfg, dedup_buckets=False)
+    a = {(r["nid_a"], r["nid_b"]) for r in with_dedup.collect()}
+    b = {(r["nid_a"], r["nid_b"]) for r in without.collect()}
+    assert a == b
+    assert (10, 11) in a and (11, 13) in a and (99, 99) not in a
+
+
+def test_single_sorted_matches_orderby(spark):
+    import __spark_entry__ as entry
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(200)
+    base = docs.select("doc_id", F.length("text").alias("v"))
+    got = entry._single_sorted(base, "doc_id").collect()
+    want = base.orderBy("doc_id").collect()
+    assert got == want
+    # and it is genuinely one sorted partition (no range exchange)
+    assert entry._single_sorted(base, "doc_id").rdd.getNumPartitions() == 1
+
+
+def test_pipeline_fan_out_is_conditional(spark):
+    from cargo_dupes_spark.plans.pipeline import Pipeline
+
+    cfg = PipelineConfig()
+    pipe = Pipeline.__new__(Pipeline)  # only _fan_out_input is exercised
+    pipe.spark = spark
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(max(par, 2))
+    assert pipe._fan_out_input(narrow).rdd.getNumPartitions() >= par
+    # already-parallel input is left untouched (no extra exchange)
+    assert pipe._fan_out_input(wide) is wide
