@@ -249,12 +249,15 @@ def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") < 1000)
     scored = brute_force_topk(corpus, queries_df, k=5)
-    return scored.select(
-        "query_id",
-        "neighbor_id",
-        (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
-        "rank",
-    ).orderBy("query_id", "rank")
+    return _single_sorted(
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
+            "rank",
+        ),
+        "query_id", "rank",
+    )
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -271,11 +274,14 @@ def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     both = emb.unionByName(scaled)
     dim = _embedding_dim(emb)
     pairs = embedding_near_dup_pairs(both, threshold=0.99, dim=dim)
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
-    ).orderBy("id_a", "id_b")
+    return _single_sorted(
+        pairs.select(
+            "id_a",
+            "id_b",
+            (F.round(F.col("cosine") * 1e6)).cast("long").alias("cosine_e6"),
+        ),
+        "id_a", "id_b",
+    )
 
 
 def _q_events_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -126,6 +126,17 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
+def single_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally sorted output as ONE sorted partition — identical rows in
+    identical order to .orderBy(*cols). A global orderBy inserts a
+    range-partitioning exchange whose bounds come from a separate sampling
+    pass over the child plan (an extra AQE job, and for map-only children a
+    full second evaluation of the projection — guide §2.4: an orderBy used
+    only to make output deterministic). All driver-oracle query outputs are
+    a few MB, so the single sort task is trivial."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def normalized(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
@@ -183,19 +194,55 @@ def minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every stage to the catalog instead)."""
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
     sigs = _signatures_from(docs).localCheckpoint(eager=False)
-    pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near", urls=sigs)
+    pairs, _ = pairs_from_buckets(
+        minhash_bands(sigs, CFG), CFG, "near", urls=sigs,
+        collect_flagged=False,
+    )
     edges = verify_pairs(pairs, sigs, CFG)
-    return edges.select(
-        F.least(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_a"),
-        F.greatest(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_b"),
-        (F.round(F.col("similarity") * 1e6)).cast("long").alias("jaccard_e6"),
-    ).orderBy("id_a", "id_b")
+    return single_sorted(
+        edges.select(
+            F.least(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_a"),
+            F.greatest(F.col("url_a").cast("long"), F.col("url_b").cast("long")).alias("id_b"),
+            (F.round(F.col("similarity") * 1e6)).cast("long").alias("jaccard_e6"),
+        ),
+        "id_a", "id_b",
+    )
 
 
 def _near_clusters(spark: SparkSession, sf_dir: str, id_bits: int) -> DataFrame:
     docs = normalized(with_near_copies(load_documents(spark, sf_dir)))
     sigs = _signatures_from(docs).localCheckpoint(eager=False)
-    pairs, _ = pairs_from_buckets(minhash_bands(sigs, CFG), CFG, "near", urls=sigs)
+    pairs, _ = pairs_from_buckets(
+        minhash_bands(sigs, CFG), CFG, "near", urls=sigs,
+        collect_flagged=False,
+    )
+    if id_bits == 64:
+        # The slice is bounded by construction (NEAR_SLICE docs), far under
+        # DRIVER_CC_THRESHOLD — connected_components would take its numpy
+        # driver path anyway, but wrapped in hash-id derivation, center-url
+        # recovery joins and a min-doc_id relabel groupBy (~10 extra AQE
+        # jobs of pure fixed latency at this size). Run the SAME numpy
+        # kernel directly on the numeric doc ids: labels are component
+        # minima, which IS cluster_min — identical output, one Arrow
+        # collect. The 128-bit variant below keeps the full operator path
+        # (its purpose is pinning string-id CC end-to-end), and tests pin
+        # this shortcut against it.
+        from .connected_components import DRIVER_CC_THRESHOLD, _numpy_components
+
+        edges = verify_pairs(pairs, sigs, CFG)
+        pdf = edges.select(
+            F.col("url_a").cast("long").alias("a"),
+            F.col("url_b").cast("long").alias("b"),
+        ).toPandas()
+        if len(pdf) <= DRIVER_CC_THRESHOLD:
+            nodes, comps = _numpy_components(
+                pdf["a"].to_numpy(), pdf["b"].to_numpy()
+            )
+            rows = sorted(zip(nodes.tolist(), comps.tolist()))
+            return spark.createDataFrame(
+                rows, "doc_id long, cluster_min long"
+            ).coalesce(1)
+        # fall through to the full operator on oversized edge sets
     # CC reads the edge set repeatedly (node extraction + round 0) — pin it
     edges = verify_pairs(pairs, sigs, CFG).localCheckpoint(eager=False)
     clusters = connected_components(edges, id_bits=id_bits).select(
@@ -264,7 +311,10 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url", "lang", "simhash")
         .localCheckpoint(eager=False)
     )
-    pairs, _ = pairs_from_buckets(simhash_buckets(sigs, CFG), CFG, "simhash", urls=sigs)
+    pairs, _ = pairs_from_buckets(
+        simhash_buckets(sigs, CFG), CFG, "simhash", urls=sigs,
+        collect_flagged=False,
+    )
     a = sigs.select(F.col("url").alias("url_a"), F.col("simhash").alias("sh_a"))
     b = sigs.select(F.col("url").alias("url_b"), F.col("simhash").alias("sh_b"))
     joined = pairs.join(a, "url_a").join(b, "url_b")
@@ -275,7 +325,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= CFG.hamming_threshold)
-        .orderBy("id_a", "id_b")
+        .transform(lambda d: single_sorted(d, "id_a", "id_b"))
     )
 
 
@@ -320,7 +370,7 @@ def substring_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = docs.select(
         F.col("doc_id").cast("string").alias("url"), "lang", "norm_text"
     ).localCheckpoint(eager=False)
-    pairs, _ = substring_candidates(fps, CFG)
+    pairs, _ = substring_candidates(fps, CFG, collect_flagged=False)
     edges = verify_substring_pairs(pairs, fps, CFG)
     la = F.col("url_a").cast("long")
     lb = F.col("url_b").cast("long")
@@ -339,5 +389,5 @@ def substring_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("span_b_start"),
             (F.col("span_a_end") - F.col("span_a_start")).alias("lcs_len"),
         )
-        .orderBy("id_a", "id_b")
+        .transform(lambda d: single_sorted(d, "id_a", "id_b"))
     )

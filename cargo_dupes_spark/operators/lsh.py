@@ -92,7 +92,10 @@ FLAGGED_SCHEMA = (
 
 
 def nid_pairs_from_buckets(
-    bucketed: DataFrame, cfg: PipelineConfig, dedup_buckets: bool = True
+    bucketed: DataFrame,
+    cfg: PipelineConfig,
+    dedup_buckets: bool = True,
+    collect_flagged: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Core pair generation over (nid BIGINT, band_id, band_key) bucket rows
     -> (nid pairs with nid_a < nid_b, flagged-bucket accounting).
@@ -123,7 +126,17 @@ def nid_pairs_from_buckets(
       equivalent equi-self-join, which shuffles the band rows twice).
 
     flagged has (band_id, band_key, bucket_size, action in
-    {'salted','dropped'}) and is already materialized (driver-side rows).
+    {'salted','dropped'}).
+
+    ``collect_flagged`` (default True, the pipeline's accounting contract):
+    PASS 1 runs as its own job and the returned ``flagged`` is materialized
+    driver-side rows. Callers that DISCARD the accounting (the driver-oracle
+    slice queries) pass False: the mega-bucket adjustment then rides PASS 2's
+    own job as a broadcast subtree — identical pair output, one fewer
+    eager job per invocation — and the returned ``flagged`` is the lazy
+    aggregation (collecting it re-runs PASS 1, which such callers never do).
+    Memory safety is the same either way: dropped buckets are excluded and
+    salted buckets re-keyed BEFORE any member array materializes.
     """
     cap = cfg.max_bucket_size
     salt = cfg.salt_buckets
@@ -139,22 +152,24 @@ def nid_pairs_from_buckets(
     sizes = bucketed.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("sz"), F.min("band_id").alias("band_id")
     )
-    flagged_rows = (
-        sizes.filter(F.col("sz") > cap)
-        .select(
-            F.col("band_id").cast("int").alias("band_id"),
-            "band_key",
-            F.col("sz").alias("bucket_size"),
-            F.when(F.col("sz") <= cap * salt, F.lit("salted"))
-            .otherwise(F.lit("dropped"))
-            .alias("action"),
-        )
-        .collect()
+    flagged_df = sizes.filter(F.col("sz") > cap).select(
+        F.col("band_id").cast("int").alias("band_id"),
+        "band_key",
+        F.col("sz").alias("bucket_size"),
+        F.when(F.col("sz") <= cap * salt, F.lit("salted"))
+        .otherwise(F.lit("dropped"))
+        .alias("action"),
     )
-    flagged = spark.createDataFrame(flagged_rows, FLAGGED_SCHEMA)
+    if collect_flagged:
+        flagged_rows = flagged_df.collect()
+        flagged = spark.createDataFrame(flagged_rows, FLAGGED_SCHEMA)
+        apply_adjustment = bool(flagged_rows)
+    else:
+        flagged = flagged_df
+        apply_adjustment = True  # rides PASS 2's job; no-op when empty
 
     bucketed = bucketed.select("nid", "band_key")
-    if flagged_rows:
+    if apply_adjustment:
         # one row per band_key (a key shared by two flagged buckets — a
         # 2^-64 collision — must not fan out the join; 'dropped' wins)
         adj = F.broadcast(
@@ -225,6 +240,7 @@ def pairs_from_buckets(
     cfg: PipelineConfig,
     tier: str,
     urls: DataFrame | None = None,
+    collect_flagged: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket rows (url, band_id, band_key) -> deduped candidate pairs
     (url_a < url_b) + the flagged-bucket accounting of
@@ -253,7 +269,9 @@ def pairs_from_buckets(
     nid_rows = bucketed.select(
         F.xxhash64("url").alias("nid"), "band_id", "band_key"
     )
-    nid_pairs, flagged = nid_pairs_from_buckets(nid_rows, cfg)
+    nid_pairs, flagged = nid_pairs_from_buckets(
+        nid_rows, cfg, collect_flagged=collect_flagged
+    )
     map_a = url_map.select(F.col("nid").alias("nid_a"), F.col("url").alias("ua"))
     map_b = url_map.select(F.col("nid").alias("nid_b"), F.col("url").alias("ub"))
     pairs = (

@@ -369,7 +369,7 @@ def near_media_dupes(
     bucketed = features.select(
         F.col("media_id").alias("nid"), F.posexplode(keys).alias("band_id", "band_key")
     )
-    nid_pairs, _ = nid_pairs_from_buckets(bucketed, cfg)
+    nid_pairs, _ = nid_pairs_from_buckets(bucketed, cfg, collect_flagged=False)
     a = features.select(
         F.col("media_id").alias("nid_a"),
         F.col("media_type").alias("type_a"),

@@ -151,7 +151,10 @@ def _ann_candidate_pairs(
     )
     # independent hyperplane tables rarely produce identical member sets —
     # the bucket-level dedup pass would be a pure extra exchange here
-    return nid_pairs_from_buckets(bucketed, cfg, dedup_buckets=False)
+    # flagged accounting is discarded by every ANN caller -> lazy PASS 1
+    return nid_pairs_from_buckets(
+        bucketed, cfg, dedup_buckets=False, collect_flagged=False
+    )
 
 
 def _pair_vectors(
@@ -364,7 +367,9 @@ def ivf_topk(
         max_bucket_size=max_bucket_size, salt_buckets=salt_buckets
     )
     # one bucket per (probe rank, centroid) — member sets don't repeat
-    nid_pairs, _ = nid_pairs_from_buckets(bucketed, cfg, dedup_buckets=False)
+    nid_pairs, _ = nid_pairs_from_buckets(
+        bucketed, cfg, dedup_buckets=False, collect_flagged=False
+    )
     return _topk_from_pairs(nid_pairs, embeddings, k, id_col, vec_col)
 
 

@@ -85,7 +85,9 @@ def winnow_udf(k: int, w: int):
 
 
 def substring_candidates(
-    fingerprints: DataFrame, cfg: PipelineConfig
+    fingerprints: DataFrame,
+    cfg: PipelineConfig,
+    collect_flagged: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """docs -> (candidate pairs tier='substring', dropped mega-buckets).
 
@@ -109,7 +111,10 @@ def substring_candidates(
         F.lit(0).alias("band_id"),
         F.xxhash64("lang", "fph").alias("band_key"),
     )
-    return pairs_from_buckets(bucketed, cfg, "substring", urls=eligible)
+    return pairs_from_buckets(
+        bucketed, cfg, "substring", urls=eligible,
+        collect_flagged=collect_flagged,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -142,3 +142,11 @@ def test_pipeline_fan_out_is_conditional(spark):
     assert pipe._fan_out_input(narrow).rdd.getNumPartitions() >= par
     # already-parallel input is left untouched (no extra exchange)
     assert pipe._fan_out_input(wide) is wide
+
+
+def test_near_clusters_shortcut_matches_full_operator(spark):
+    # near_dup_clusters (numpy driver shortcut) must label identically to
+    # near_dup_clusters_wide (full connected_components operator path)
+    got = dedup.near_dup_clusters(spark, "/root/testdata/sf0.01").collect()
+    want = dedup.near_dup_clusters_wide(spark, "/root/testdata/sf0.01").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
