@@ -42,7 +42,11 @@ def lang_id_col(norm_col: Column | str) -> Column:
     whole-stage codegen (no higher-order array_sort comparator).
     """
     c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
-    tokens = F.array_distinct(F.split(c, " "))
+    # no array_distinct: array_intersect already returns the DISTINCT
+    # intersection whatever duplicates its inputs carry, so the extra
+    # hash-set pass over every token was pure cost (size() counts the
+    # same distinct stopword hits either way)
+    tokens = F.split(c, " ")
     langs = sorted(LANG_STOPWORDS)
     hits = {lang: _hits_col(tokens, lang) for lang in langs}
     best = F.greatest(*hits.values()) if len(langs) > 1 else hits[langs[0]]
@@ -72,15 +76,37 @@ def lang_id_sql(norm_expr: str) -> str:
 
 
 # --- quality score --------------------------------------------------------
+_ASCII_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def _alpha_count_col(c: Column) -> Column:
+    """#ASCII letters in c — identical to
+    length(regexp_replace(c, '[^A-Za-z]', '')) (that keeps exactly the 52
+    letters; translate removes exactly them), without the regex pass or the
+    rebuilt string: n - length(translate(c, letters, ''))."""
+    return F.length(c) - F.length(F.translate(c, _ASCII_LETTERS, ""))
+
+
+def _split_count_col(trimmed: Column) -> Column:
+    """size(split(trimmed, '\\s+')) without materializing the piece array:
+    split with limit -1 always yields (#separator matches + 1) pieces, so
+    regexp_count(trimmed, '\\s+') + 1 is identical (including leading/
+    trailing non-space whitespace, which split keeps as empty pieces)."""
+    return F.regexp_count(trimmed, F.lit(r"\s+")) + F.lit(1)
+
+
 def quality_score_col(text_col: Column | str) -> Column:
     """Heuristic quality in [0,1] from raw text: length band, alpha ratio,
     mean word length band. Deterministic, built-in only (rounded to 6dp so
-    oracle float comparison is stable)."""
+    oracle float comparison is stable). The alpha and word counts use the
+    allocation-free twins above (outputs pinned identical in
+    tests/test_r06_optimizations.py; the SQL renderer keeps the original
+    formulation)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     n = F.length(c)
-    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    alpha = _alpha_count_col(c)
     alpha_ratio = F.when(n > 0, alpha.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
-    words = F.size(F.split(F.trim(c), r"\s+"))
+    words = _split_count_col(F.trim(c))
     mean_wlen = F.when(words > 0, n.cast("double") / words.cast("double")).otherwise(F.lit(0.0))
     len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
     wlen_score = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
@@ -105,9 +131,11 @@ _TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def token_count_col(text_col: Column | str) -> Column:
-    """Subword-ish token count: regexp extract-all length (JVM-side)."""
+    """Subword-ish token count — regexp_count is definitionally
+    size(regexp_extract_all(...)) (same engine, same successive
+    non-overlapping matches) without materializing the match array."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.size(F.regexp_extract_all(c, F.lit(_TOKEN_PATTERN), F.lit(0)))
+    return F.regexp_count(c, F.lit(_TOKEN_PATTERN))
 
 
 def token_count_sql(text_expr: str) -> str:
@@ -117,7 +145,7 @@ def token_count_sql(text_expr: str) -> str:
 def whitespace_token_count_col(text_col: Column | str) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), r"\s+"))
+        _split_count_col(F.trim(c))
     )
 
 

@@ -178,7 +178,7 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
         .select("rep_id", "n_members")
-        .orderBy("rep_id")
+        .transform(lambda d: single_sorted(d, "rep_id"))
     )
 
 
@@ -235,12 +235,15 @@ def _near_clusters(spark: SparkSession, sf_dir: str, id_bits: int) -> DataFrame:
             F.col("url_b").cast("long").alias("b"),
         ).toPandas()
         if len(pdf) <= DRIVER_CC_THRESHOLD:
+            import pandas as pd
+
             nodes, comps = _numpy_components(
                 pdf["a"].to_numpy(), pdf["b"].to_numpy()
             )
-            rows = sorted(zip(nodes.tolist(), comps.tolist()))
+            out = pd.DataFrame({"doc_id": nodes, "cluster_min": comps})
             return spark.createDataFrame(
-                rows, "doc_id long, cluster_min long"
+                out.sort_values("doc_id"),  # Arrow path, JVM-side convert
+                "doc_id long, cluster_min long",
             ).coalesce(1)
         # fall through to the full operator on oversized edge sets
     # CC reads the edge set repeatedly (node extraction + round 0) — pin it

@@ -376,7 +376,10 @@ class Pipeline:
                 clusters = self._stage("clusters", build_clusters)  # skip
                 mem_clusters = clusters
             elif edges_rows is not None and edges_rows <= DRIVER_CC_THRESHOLD:
-                mem_clusters = build_clusters()  # eager CC work happens here
+                # eager CC work happens here; localCheckpoint pins the frame
+                # so its 3+ consumers (clusters commit, per-tier membership
+                # joins) don't re-run the label joins per job
+                mem_clusters = build_clusters().localCheckpoint(eager=False)
                 clusters_fut = ex.submit(
                     self._stage, "clusters", lambda: mem_clusters, edges_rows
                 )

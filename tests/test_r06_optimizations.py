@@ -150,3 +150,57 @@ def test_near_clusters_shortcut_matches_full_operator(spark):
     got = dedup.near_dup_clusters(spark, "/root/testdata/sf0.01").collect()
     want = dedup.near_dup_clusters_wide(spark, "/root/testdata/sf0.01").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_textstats_rewrites_identical(spark):
+    # pre-rewrite formulations, reconstructed inline
+    from cargo_dupes_spark.functions.textstats import (
+        _TOKEN_PATTERN,
+        quality_score_col,
+        token_count_col,
+        whitespace_token_count_col,
+    )
+
+    def old_quality(c):
+        c = F.col(c)
+        n = F.length(c)
+        alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+        alpha_ratio = F.when(n > 0, alpha.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+        words = F.size(F.split(F.trim(c), r"\s+"))
+        mean_wlen = F.when(words > 0, n.cast("double") / words.cast("double")).otherwise(F.lit(0.0))
+        len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
+        wlen_score = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+        return F.round((len_score + alpha_ratio + wlen_score) / F.lit(3.0), 6)
+
+    def old_token_count(c):
+        return F.size(F.regexp_extract_all(F.col(c), F.lit(_TOKEN_PATTERN), F.lit(0)))
+
+    def old_ws(c):
+        c = F.col(c)
+        return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(c), r"\s+"))
+        )
+
+    extra = [
+        ("",), (None,), ("   ",), ("\tleading tab",), ("trailing tab\t",),
+        ("a\t\t b\n\nc",), ("ALLCAPS lower 123 !?.",), ("ümlaut ñ β 漢字 9.5",),
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "text"
+    ).unionByName(spark.createDataFrame(extra, "text string"))
+    diff = (
+        docs.select(
+            old_quality("text").alias("qa"),
+            quality_score_col("text").alias("qb"),
+            old_token_count("text").alias("ta"),
+            token_count_col("text").alias("tb"),
+            old_ws("text").alias("wa"),
+            whitespace_token_count_col("text").alias("wb"),
+        )
+        .filter(
+            "qa is distinct from qb or ta is distinct from tb "
+            "or wa is distinct from wb"
+        )
+        .count()
+    )
+    assert diff == 0
