@@ -161,8 +161,36 @@ def nid_pairs_from_buckets(
         .alias("action"),
     )
     if collect_flagged:
+        import pandas as pd
+
         flagged_rows = flagged_df.collect()
-        flagged = spark.createDataFrame(flagged_rows, FLAGGED_SCHEMA)
+        # pandas/Arrow-backed local frame, NOT createDataFrame(row_list):
+        # a pickled-Python local RDD costs a Python-worker task per core on
+        # EVERY consuming job (measured 33 CPU-s for the usually-EMPTY
+        # flagged accounting); Arrow batches convert JVM-side
+        flagged = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "band_id": pd.array(
+                        [r["band_id"] for r in flagged_rows], dtype="int32"
+                    ),
+                    "band_key": pd.array(
+                        [r["band_key"] for r in flagged_rows], dtype="int64"
+                    ),
+                    "bucket_size": pd.array(
+                        [r["bucket_size"] for r in flagged_rows], dtype="int64"
+                    ),
+                    "action": pd.array(
+                        [r["action"] for r in flagged_rows], dtype=object
+                    ),
+                }
+            ),
+            FLAGGED_SCHEMA,
+        )
+        # the rows are already driver-side — attach them so consumers that
+        # only need counts (the pipeline/streaming accounting) can read
+        # them without scheduling a job over the local frame
+        flagged._cds_local_rows = flagged_rows
         apply_adjustment = bool(flagged_rows)
     else:
         flagged = flagged_df

@@ -146,4 +146,13 @@ def assemble_stats_row(
             else _round_half_up6(tokens * 100.0 / total_tokens)
         )
         vals += [groups, docs, tokens, pct]
-    return spark.createDataFrame([tuple(vals)], STATS_SCHEMA)
+    import pandas as pd
+
+    # pandas/Arrow-backed single-row frame: createDataFrame(row_list) is a
+    # pickled-Python RDD that pays a Python-worker task on every consuming
+    # job (the stats table is read by the bench, the report and the check
+    # gate); Arrow converts JVM-side
+    pdf = pd.DataFrame(
+        {f.name: [v] for f, v in zip(STATS_SCHEMA.fields, vals)}
+    )
+    return spark.createDataFrame(pdf, STATS_SCHEMA)

@@ -269,8 +269,11 @@ class Pipeline:
             # metrics (SURVEY §7.4 risk 4)
             counts = {"salted_buckets": 0.0, "dropped_buckets": 0.0}
             for flagged in flagged_parts:
-                for row in flagged.groupBy("action").count().collect():
-                    counts[f"{row['action']}_buckets"] += float(row["count"])
+                rows = getattr(flagged, "_cds_local_rows", None)
+                if rows is None:  # lazily-built flagged frame: one job
+                    rows = flagged.select("action").collect()
+                for row in rows:
+                    counts[f"{row['action']}_buckets"] += 1.0
             self.catalog.record_metrics("candidates", counts)
             if not parts:
                 return self.spark.createDataFrame([], CANDIDATE_PAIRS)

@@ -325,7 +325,8 @@ def _process_near_tier(
         "near",
         urls=sigs,
     )
-    n_ib_flagged = ib_flagged.count()
+    ib_rows = getattr(ib_flagged, "_cds_local_rows", None)
+    n_ib_flagged = len(ib_rows) if ib_rows is not None else ib_flagged.count()
     if n_ib_flagged:
         catalog.record_metrics(
             "stream_near", {"flagged_batch_buckets": float(n_ib_flagged)}
@@ -516,7 +517,8 @@ def _process_substring_tier(
         "substring",
         urls=eligible,
     )
-    n_ib_flagged = ib_flagged.count()
+    ib_rows = getattr(ib_flagged, "_cds_local_rows", None)
+    n_ib_flagged = len(ib_rows) if ib_rows is not None else ib_flagged.count()
     if n_ib_flagged:
         catalog.record_metrics(
             "stream_substring", {"flagged_batch_buckets": float(n_ib_flagged)}
