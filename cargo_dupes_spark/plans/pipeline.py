@@ -172,6 +172,15 @@ class Pipeline:
             return web_pages
         if cur >= sc.defaultParallelism:
             return web_pages
+        # hash on the unique url, not round-robin: keyless repartition
+        # locally SORTS its input first (SPARK-23207 retry determinism),
+        # which is pure serial cost inside the one upstream task this
+        # helper exists to relieve; hashing a deterministic key is
+        # retry-safe without the sort and spreads evenly (urls unique)
+        if "url" in web_pages.columns:
+            return web_pages.repartition(
+                2 * sc.defaultParallelism, F.col("url")
+            )
         return web_pages.repartition(2 * sc.defaultParallelism)
 
     # ------------------------------------------------------------------
