@@ -47,18 +47,23 @@ def build_session(
         # hold at any cluster size: tiny stages coalesce to a task or two,
         # heavy stages keep straggler slack.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        # 8 MB advisory: this workload's shuffle bytes are CPU-dense (lz4
+        # 4 MB advisory: this workload's shuffle bytes are CPU-dense (lz4
         # text + shingle arrays feeding collect_list/verify kernels), so a
         # 32 MB target coalesced the candidate-expansion and verify-
         # reassembly exchanges to 1-2 tasks and serialized their compute
-        # (measured: candidate_pairs stage 6.0s -> 3.0s at 8 MB). Sub-8 MB
-        # shuffles (CC rounds, trailing stages) still coalesce to a task or
-        # two, and AQE can only MERGE partitions, so on a real cluster —
-        # where partition count is capped by spark.sql.shuffle.partitions
-        # and per-partition bytes are far above 8 MB — this knob never
+        # (measured: candidate_pairs stage 6.0s -> 3.0s at 8 MB; a further
+        # 8 -> 4 MB step re-measured the 13-query suite at -1.7 s on the
+        # 600k-row tables and -1.2 s on a 10x synthetic set, pipeline
+        # neutral — the win is the same shape: the embedding re-rank and
+        # window exchanges move 8-15 MB of CPU-dense rows that 8 MB
+        # coalesced to 1-2 tasks). Sub-advisory shuffles (CC rounds,
+        # trailing stages) still coalesce to a task or two, and AQE can
+        # only MERGE partitions, so on a real cluster — where partition
+        # count is capped by spark.sql.shuffle.partitions and
+        # per-partition bytes are far above 4 MB — this knob never
         # engages; it is a small-shuffle shaping choice, not a cluster tune.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024))
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", str(4 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", str(2 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # dedup work is CPU-heavy per byte (regex normalize, shingle windows,
         # sketch UDFs): 128 MB scan splits cap narrow stages over checkpoint
