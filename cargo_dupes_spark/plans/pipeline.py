@@ -66,6 +66,8 @@ class Pipeline:
         self.stage_log: list[str] = []  # executed vs skipped, for tests
         self._prev_rows: int | None = None  # lineage n_in chain
         self.stage_rows: dict[str, int | None] = {}  # committed row counts
+        self._accounting_thread = None  # concurrent flagged accounting
+        self._accounting_error: BaseException | None = None
 
     _CHAIN = object()  # sentinel: n_in = previous stage's count
 
@@ -255,35 +257,64 @@ class Pipeline:
         signatures = self._stage("signatures", build_signatures)
 
         def build_candidates() -> DataFrame:
+            # collect_flagged=False: the cap/salt adjustment rides the
+            # checkpoint job as a broadcast subtree instead of an eager
+            # PASS-1 collect job serially ahead of it; the accounting
+            # (below) re-runs the cheap count-only PASS 1 on a driver
+            # thread CONCURRENT with the commit — same numbers recorded,
+            # one job off the stage's critical path (guide §2.6 overlap).
             parts, flagged_parts = [], []
             if "minhash" in self.detectors:
                 pairs, flagged = pairs_from_buckets(
                     minhash_bands(signatures, cfg), cfg, "near",
-                    urls=signatures,
+                    urls=signatures, collect_flagged=False,
                 )
                 parts.append(pairs)
                 flagged_parts.append(flagged)
             if "simhash" in self.detectors:
                 pairs, flagged = pairs_from_buckets(
                     simhash_buckets(signatures, cfg), cfg, "simhash",
-                    urls=signatures,
+                    urls=signatures, collect_flagged=False,
                 )
                 parts.append(pairs)
                 flagged_parts.append(flagged)
             if "substring" in self.detectors:
-                pairs, flagged = substring_candidates(reps, cfg)
+                pairs, flagged = substring_candidates(
+                    reps, cfg, collect_flagged=False
+                )
                 parts.append(pairs)
                 flagged_parts.append(flagged)
+
             # never silent: salted and dropped mega-buckets are first-class
-            # metrics (SURVEY §7.4 risk 4)
-            counts = {"salted_buckets": 0.0, "dropped_buckets": 0.0}
-            for flagged in flagged_parts:
-                rows = getattr(flagged, "_cds_local_rows", None)
-                if rows is None:  # lazily-built flagged frame: one job
-                    rows = flagged.select("action").collect()
-                for row in rows:
-                    counts[f"{row['action']}_buckets"] += 1.0
-            self.catalog.record_metrics("candidates", counts)
+            # metrics (SURVEY §7.4 risk 4) — recorded from a concurrent
+            # driver thread; run() joins the thread (and re-raises any
+            # failure) before returning, so callers always see the metric
+            def _account() -> None:
+                self.spark.sparkContext.setJobDescription(
+                    "stage:candidate_pairs (flagged accounting)"
+                )
+                counts = {"salted_buckets": 0.0, "dropped_buckets": 0.0}
+                for flagged in flagged_parts:
+                    rows = getattr(flagged, "_cds_local_rows", None)
+                    if rows is None:  # lazily-built flagged frame: one job
+                        rows = flagged.select("action").collect()
+                    for row in rows:
+                        counts[f"{row['action']}_buckets"] += 1.0
+                self.catalog.record_metrics("candidates", counts)
+
+            import threading
+
+            def _account_guarded() -> None:
+                try:
+                    _account()
+                except BaseException as exc:  # pragma: no cover - loud path
+                    self._accounting_error = exc
+
+            self._accounting_thread = threading.Thread(
+                target=_account_guarded, name="cds-flagged-accounting"
+            )
+            self._accounting_thread.start()
+
             if not parts:
                 return self.spark.createDataFrame([], CANDIDATE_PAIRS)
             out = parts[0]
@@ -434,6 +465,16 @@ class Pipeline:
                     tier_aggregates(fingerprints, memberships).collect(),
                 ),
             )
+
+        # the flagged-accounting thread (candidate_pairs stage) must land
+        # before run() returns: callers read the metric right after, and a
+        # failed accounting must fail the run, not vanish
+        if self._accounting_thread is not None:
+            self._accounting_thread.join()
+            self._accounting_thread = None
+            err, self._accounting_error = self._accounting_error, None
+            if err is not None:
+                raise err
 
         return {
             "fingerprints": fingerprints,

@@ -204,3 +204,35 @@ def test_textstats_rewrites_identical(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_pipeline_flagged_accounting_still_recorded(spark, tmp_path):
+    # the candidate stage's PASS-1 accounting now runs on a concurrent
+    # driver thread (lazy collect_flagged) — mega-bucket counts must still
+    # land in the catalog metrics by the time run() returns, and with the
+    # same values the eager path produced
+    from cargo_dupes_spark.plans.pipeline import Pipeline
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12
+    )
+    rows = [
+        (f"u{i}", base + " tail" + "x" * (i + 1), "en") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    cfg = PipelineConfig(
+        warehouse=str(tmp_path / "wh"), max_bucket_size=4, salt_buckets=2
+    )
+    pipe = Pipeline(spark, cfg, detectors=("minhash",))
+    out = pipe.run(df)
+    out["memberships"].count()
+    m = {
+        r["metric"]: r["value"]
+        for r in pipe.catalog.read_metrics()
+        .filter("stage='candidates'")
+        .collect()
+    }
+    # 40 near-identical docs vs cap 4 * salt 2: every minhash band bucket
+    # is a dropped mega-bucket
+    assert m["dropped_buckets"] > 0
+    assert pipe._accounting_thread is None  # joined before run() returned
