@@ -72,6 +72,27 @@ def _embedding_dim(emb: DataFrame) -> int:
     return len(first[0])
 
 
+def _embedding_dim_at(sf: str, emb: DataFrame) -> int:
+    """Vector width read driver-side from the parquet file (pyarrow, one
+    row) — ``emb.first()`` costs a full Spark job (scan task + py4j round
+    trip) per query invocation for one scalar. Reads the INPUT per call
+    (nothing cached); falls back to the DataFrame path when the table is
+    not a single readable parquet file."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf}/embeddings.parquet")
+        batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        v = batch.column(0)[0].as_py() if batch.num_rows else None
+        if v is None:
+            raise ValueError(
+                "embeddings table is empty (or embedding is NULL)"
+            )
+        return len(v)
+    except (OSError, StopIteration):
+        return _embedding_dim(emb)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -272,7 +293,7 @@ def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         "label",
     )
     both = emb.unionByName(scaled)
-    dim = _embedding_dim(emb)
+    dim = _embedding_dim_at(sf, emb)
     pairs = embedding_near_dup_pairs(both, threshold=0.99, dim=dim)
     return _single_sorted(
         pairs.select(
@@ -377,7 +398,7 @@ def _q_ann_planted_recall(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
     )
     both = emb.unionByName(copies)
-    dim = _embedding_dim(emb)
+    dim = _embedding_dim_at(sf, emb)
     pairs = embedding_near_dup_pairs(
         both, threshold=0.999999, dim=dim, max_bucket_size=1_000_000
     )
@@ -409,7 +430,7 @@ def _q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_embeddings(spark, sf).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    dim = _embedding_dim(emb)
+    dim = _embedding_dim_at(sf, emb)
     out = lsh_topk(
         emb, k=5, dim=dim, n_planes=0, n_tables=2,
         max_bucket_size=10_000_000,
@@ -435,7 +456,7 @@ def _q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_embeddings(spark, sf).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    dim = _embedding_dim(emb)
+    dim = _embedding_dim_at(sf, emb)
     out = ivf_topk(
         emb, k=5, dim=dim, n_centroids=1, nprobe=1,
         max_bucket_size=10_000_000,
@@ -468,7 +489,7 @@ def _q_ann_ivf_planted_recall(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
     )
     both = emb.unionByName(copies)
-    dim = _embedding_dim(emb)
+    dim = _embedding_dim_at(sf, emb)
     out = ivf_topk(
         both, k=3, dim=dim, n_centroids=16, nprobe=2,
         max_bucket_size=1_000_000,

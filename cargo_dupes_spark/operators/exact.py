@@ -138,6 +138,11 @@ def exact_memberships(fingerprints: DataFrame) -> DataFrame:
             F.col("fingerprint").alias("group_fp"),
             F.lit("exact").alias("tier"),
             F.lit(1.0).alias("similarity"),
+            # n_tokens rides the membership row (free here — the join output
+            # already carries the fingerprints columns) so stats/report
+            # aggregates over memberships never need the corpus-sized
+            # join back to fingerprints (guide §2.4: remove shuffles outright)
+            "n_tokens",
         )
     )
 

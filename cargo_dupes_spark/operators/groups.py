@@ -53,11 +53,18 @@ def cluster_memberships(
     return (
         clusters.join(group_fp, "cluster_id")
         .join(edge_min, "cluster_id", "left")
+        # n_tokens denormalized onto the membership row (8 B/row): the
+        # stats/report aggregates over memberships then run WITHOUT a
+        # corpus-sized join back to fingerprints — this relocates the one
+        # url join stats used to pay (same join count in the pipeline,
+        # strictly fewer in every downstream consumer)
+        .join(fingerprints.select("url", "n_tokens"), "url", "left")
         .select(
             "url",
             "group_fp",
             F.lit(tier).alias("tier"),
             "similarity",
+            "n_tokens",
         )
     )
 
@@ -66,9 +73,9 @@ def assemble_groups(
     memberships: DataFrame, fingerprints: DataFrame
 ) -> DataFrame:
     """memberships -> dup_groups with member arrays + deterministic order."""
-    with_tokens = memberships.join(
-        fingerprints.select("url", "n_tokens"), "url", "left"
-    )
+    from .stats import _with_tokens
+
+    with_tokens = _with_tokens(memberships, fingerprints)
     return (
         with_tokens.groupBy("group_fp", "tier")
         .agg(

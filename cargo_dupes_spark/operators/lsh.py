@@ -287,9 +287,23 @@ def pairs_from_buckets(
 
     nid = xxhash64(url) collisions (~n²/2^65 — relevant only near 10^12
     docs) are neutralized at the join-back: self-pairs from two urls
-    colliding on one nid are filtered (url_a != url_b) and the final dedup
-    runs on the url pair, not the nid pair.
+    colliding on one nid are filtered (url_a != url_b).
+
+    No url-level dedup is needed after the join-back (the former
+    ``dropDuplicates(url_a, url_b)`` was a full extra exchange of the pair
+    set — the only pair-set-wide shuffle between the nid dedup and verify):
+    with ``urls`` one-row-per-url, url -> nid is a FUNCTION, so a canonical
+    url pair (u, v) can only arise from the single nid pair
+    (min, max)(xxhash64(u), xxhash64(v)) joined to u's and v's unique map
+    rows — nid pairs are distinct by construction (the nid-level
+    dropDuplicates above), hence url pairs are too. Even under an nid
+    collision the fanned-out url pairs are distinct (different urls).
+    Pinned in tests/test_r06_optimizations.py.
     """
+    if urls is not None:
+        from ..contracts import assert_unique_ids
+
+        assert_unique_ids(urls, "url", "pairs_from_buckets(urls)")
     url_src = urls.select("url") if urls is not None else (
         bucketed.select("url").distinct()
     )
@@ -310,7 +324,6 @@ def pairs_from_buckets(
             F.least("ua", "ub").alias("url_a"),
             F.greatest("ua", "ub").alias("url_b"),
         )
-        .dropDuplicates(["url_a", "url_b"])
         .withColumn("tier", F.lit(tier))
     )
     return pairs, flagged

@@ -18,6 +18,19 @@ from pyspark.sql import types as T
 TIERS = ("exact", "near", "substring")
 
 
+def _with_tokens(memberships: DataFrame, fingerprints: DataFrame) -> DataFrame:
+    """memberships rows with n_tokens. The pipeline's memberships table
+    carries n_tokens denormalized (operators/exact.py / groups.py), so the
+    former corpus-sized join back to fingerprints is skipped outright
+    (guide §2.4); externally-built membership frames without the column
+    keep the join (back-compat)."""
+    if "n_tokens" in memberships.columns:
+        return memberships
+    return memberships.join(
+        fingerprints.select("url", "n_tokens"), "url", "left"
+    )
+
+
 def compute_stats(fingerprints: DataFrame, memberships: DataFrame) -> DataFrame:
     """Single-row stats DataFrame over the run.
 
@@ -30,9 +43,7 @@ def compute_stats(fingerprints: DataFrame, memberships: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("total_docs"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
     )
-    with_tokens = memberships.join(
-        fingerprints.select("url", "n_tokens"), "url", "left"
-    )
+    with_tokens = _with_tokens(memberships, fingerprints)
     # global aggregates always yield exactly one row, even on empty input —
     # robust where a pivot over an empty memberships table would vanish
     out = totals
@@ -94,9 +105,7 @@ def stats_totals(fingerprints: DataFrame) -> DataFrame:
 
 def tier_aggregates(fingerprints: DataFrame, memberships: DataFrame) -> DataFrame:
     """Per-tier membership aggregates — one groupBy pass (<= |TIERS| rows)."""
-    with_tokens = memberships.join(
-        fingerprints.select("url", "n_tokens"), "url", "left"
-    )
+    with_tokens = _with_tokens(memberships, fingerprints)
     return with_tokens.groupBy("tier").agg(
         F.countDistinct("group_fp").cast("long").alias("groups"),
         F.count(F.lit(1)).cast("long").alias("docs"),

@@ -326,15 +326,21 @@ class Pipeline:
 
         def build_edges() -> DataFrame:
             parts = []
-            if {"minhash", "simhash"} & set(self.detectors):
+            near_detectors = {"minhash", "simhash"} & set(self.detectors)
+            if near_detectors:
                 near_cand = candidates.filter(
                     F.col("tier").isin("near", "simhash")
                 )
-                # a pair found by both detectors verifies once
-                near_cand = (
-                    near_cand.groupBy("url_a", "url_b")
-                    .agg(F.min("tier").alias("tier"))  # 'near' < 'simhash'
-                )
+                # a pair found by both detectors verifies once. With a
+                # SINGLE near detector the pairs are already distinct
+                # (pairs_from_buckets dedups at the nid level), so the
+                # cross-detector groupBy would be a pure extra shuffle of
+                # the candidate set — skip it (guide §2.4).
+                if len(near_detectors) > 1:
+                    near_cand = (
+                        near_cand.groupBy("url_a", "url_b")
+                        .agg(F.min("tier").alias("tier"))  # 'near' < 'simhash'
+                    )
                 parts.append(
                     verify_pairs(near_cand, signatures, cfg).withColumn(
                         "tier", F.lit("near")

@@ -93,6 +93,10 @@ CLUSTERS = T.StructType(
     ]
 )
 
+# the minimal membership shape; the pipeline's committed memberships table
+# additionally denormalizes n_tokens (8 B/row) so stats/report aggregates
+# never join back to the corpus-sized fingerprints table (operators/stats.py
+# _with_tokens — frames without the column keep the join)
 MEMBERSHIPS = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

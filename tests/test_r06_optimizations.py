@@ -206,6 +206,62 @@ def test_textstats_rewrites_identical(spark):
     assert diff == 0
 
 
+def test_pairs_from_buckets_distinct_without_url_dedup(spark):
+    # the final dropDuplicates(url_a, url_b) was removed (a full extra
+    # exchange of the pair set): with one-row-per-url input, url -> nid is
+    # a function, so distinct nid pairs imply distinct url pairs. Engineer
+    # heavy band collisions (same member set in many bands) + overlapping
+    # buckets and assert the output carries no duplicate url pair.
+    from cargo_dupes_spark.operators.lsh import pairs_from_buckets
+
+    urls = spark.createDataFrame(
+        [(f"u{i}",) for i in range(6)], "url string"
+    )
+    rows = []
+    for band in range(8):  # same member set collides in 8 bands
+        for i in (0, 1, 2):
+            rows.append((f"u{i}", band, 5000 + band))
+    for i in (1, 2, 3):  # overlapping distinct bucket
+        rows.append((f"u{i}", 0, 9000))
+    bucketed = spark.createDataFrame(
+        rows, "url string, band_id int, band_key long"
+    )
+    pairs, _ = pairs_from_buckets(
+        bucketed, CFG, "near", urls=urls, collect_flagged=False
+    )
+    got = [(r["url_a"], r["url_b"]) for r in pairs.collect()]
+    assert len(got) == len(set(got))  # no duplicate url pairs
+    assert set(got) == {
+        ("u0", "u1"), ("u0", "u2"), ("u1", "u2"), ("u1", "u3"), ("u2", "u3")
+    }
+    assert all(a < b for a, b in got)  # canonical orientation
+
+
+def test_memberships_carry_n_tokens_and_stats_skip_join(spark):
+    # the pipeline memberships rows denormalize n_tokens; tier_aggregates
+    # over such a frame must not re-join fingerprints (no url join in the
+    # plan) and must produce the same aggregates as the join path
+    from cargo_dupes_spark.operators.stats import tier_aggregates
+
+    fps = spark.createDataFrame(
+        [("u1", 10), ("u2", 20), ("u3", 30)], "url string, n_tokens int"
+    )
+    plain = spark.createDataFrame(
+        [("u1", 1, "exact", 1.0), ("u2", 1, "exact", 1.0)],
+        "url string, group_fp long, tier string, similarity double",
+    )
+    denorm = spark.createDataFrame(
+        [("u1", 1, "exact", 1.0, 10), ("u2", 1, "exact", 1.0, 20)],
+        "url string, group_fp long, tier string, similarity double, "
+        "n_tokens int",
+    )
+    want = {tuple(r) for r in tier_aggregates(fps, plain).collect()}
+    got = {tuple(r) for r in tier_aggregates(fps, denorm).collect()}
+    assert got == want
+    plan = tier_aggregates(fps, denorm)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_pipeline_flagged_accounting_still_recorded(spark, tmp_path):
     # the candidate stage's PASS-1 accounting now runs on a concurrent
     # driver thread (lazy collect_flagged) — mega-bucket counts must still
