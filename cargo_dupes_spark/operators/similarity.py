@@ -206,8 +206,16 @@ def _pair_vectors(
             F.when(F.col("side") == side, F.col("_v")), ignorenulls=True
         ).alias(out)
 
+    from .verify import reassembly_partitions
+
+    matched = exploded.join(vecs, "nid", "inner")
     return (
-        exploded.join(vecs, "nid", "inner")
+        # pin the reassembly width (see verify.reassembly_partitions): the
+        # cosine re-rank downstream is CPU-dense and AQE's byte-based
+        # coalescing serializes it onto 1-3 tasks at bench scale
+        matched.repartition(
+            reassembly_partitions(matched), "nid_a", "nid_b"
+        )
         .groupBy("nid_a", "nid_b")
         .agg(side_first("a", "va"), side_first("b", "vb"))
         .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())

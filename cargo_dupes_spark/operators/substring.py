@@ -106,11 +106,18 @@ def substring_candidates(
             winnow_udf(cfg.winnow_kgram, cfg.winnow_window)(F.col("norm_text"))
         ).alias("fph"),
     )
+    # pin the winnowed rows: PASS 1 (mega-bucket sizing) and PASS 2 (pair
+    # expansion) in pairs_from_buckets both traverse this plan, and without
+    # the checkpoint the winnow UDF — the expensive per-char kernel — runs
+    # over the whole corpus TWICE per invocation (guide §1.2: don't compute
+    # things twice). The pinned rows are the selected fingerprints only
+    # (~2% of corpus chars, 24 B/row), MEMORY_AND_DISK so oversized
+    # partitions spill rather than OOM.
     bucketed = fps.select(
         "url",
         F.lit(0).alias("band_id"),
         F.xxhash64("lang", "fph").alias("band_key"),
-    )
+    ).localCheckpoint(eager=False)
     return pairs_from_buckets(
         bucketed, cfg, "substring", urls=eligible,
         collect_flagged=collect_flagged,
@@ -323,8 +330,16 @@ def verify_substring_pairs(
             ignorenulls=True,
         ).alias(out)
 
+    from .verify import reassembly_partitions
+
+    matched = exploded.join(texts, "url", "inner")
     joined = (
-        exploded.join(texts, "url", "inner")
+        # pin the reassembly width (see reassembly_partitions): the LCS
+        # kernel downstream is CPU-dense, and AQE's byte-based coalescing
+        # was serializing it onto one task at bench scale
+        matched.repartition(
+            reassembly_partitions(matched), "url_a", "url_b"
+        )
         .groupBy("url_a", "url_b", "tier")
         .agg(side_text("a", "text_a"), side_text("b", "text_b"))
         # inner-join semantics: either side absent from fingerprints -> drop

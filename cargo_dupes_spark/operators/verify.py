@@ -34,6 +34,27 @@ from ..functions.shingles import jaccard_col
 from ..functions.simhash import hamming_col
 
 
+def reassembly_partitions(df: DataFrame) -> int:
+    """Partition count for the pair-reassembly exchanges (here and in
+    operators/substring.py & similarity.py): the session's configured
+    shuffle width — what a non-AQE plan would use. The reassembly groupBy
+    feeds CPU-DENSE work (exact Jaccard over shingle arrays, the LCS
+    kernel, cosine re-rank) whose cost per shuffled byte is far above
+    typical, so AQE's byte-based coalescing (advisory 4 MB) lands it on
+    1-2 tasks and serializes the verify compute (measured: the minhash and
+    substring verify jobs each ran 0.7+ s on ONE task at bench scale). An
+    explicit repartition(N, pair_key) is exempt from AQE coalescing and
+    adds NO extra exchange — the groupBy on a superset of the keys reuses
+    the partitioning. Scale-adaptive: N is the cluster-sized shuffle
+    width, never a local constant."""
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):  # 'auto' or unset -> core count
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def verify_pairs(
     pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
@@ -88,7 +109,10 @@ def verify_pairs(
         ).alias(f"{col}_{side}")
 
     joined = (
-        matched.groupBy("url_a", "url_b", "tier")
+        matched.repartition(
+            reassembly_partitions(matched), "url_a", "url_b"
+        )
+        .groupBy("url_a", "url_b", "tier")
         .agg(
             side_first("shingles", "a"),
             side_first("shingles", "b"),
