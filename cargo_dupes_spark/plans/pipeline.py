@@ -257,38 +257,47 @@ class Pipeline:
         signatures = self._stage("signatures", build_signatures)
 
         def build_candidates() -> DataFrame:
-            # collect_flagged=False: the cap/salt adjustment rides the
-            # checkpoint job as a broadcast subtree instead of an eager
-            # PASS-1 collect job serially ahead of it; the accounting
-            # (below) re-runs the cheap count-only PASS 1 on a driver
-            # thread CONCURRENT with the commit — same numbers recorded,
-            # one job off the stage's critical path (guide §2.6 overlap).
+            # collect_flagged=True (eager PASS 1): the pipeline CONSUMES the
+            # mega-bucket accounting, so the sizing aggregation must run
+            # somewhere — lazy mode ran it TWICE (once as the broadcast
+            # adjustment subtree inside the commit job, once on the
+            # accounting thread: ~16 executor-CPU-s duplicated at bench
+            # scale, REST stages 106/107), and on a saturated host the
+            # duplicate contends with the commit instead of hiding under
+            # it. Interleaved A/B at 400k docs: eager candidate stage
+            # 2.5-2.8 s vs lazy 2.8-3.1 s, every adjacent pair. Callers
+            # that DISCARD the accounting (the driver-oracle slice queries)
+            # keep collect_flagged=False — for them lazy runs the sizing
+            # once and saves a serial job.
             parts, flagged_parts = [], []
             if "minhash" in self.detectors:
                 pairs, flagged = pairs_from_buckets(
                     minhash_bands(signatures, cfg), cfg, "near",
-                    urls=signatures, collect_flagged=False,
+                    urls=signatures, collect_flagged=True,
                 )
                 parts.append(pairs)
                 flagged_parts.append(flagged)
             if "simhash" in self.detectors:
                 pairs, flagged = pairs_from_buckets(
                     simhash_buckets(signatures, cfg), cfg, "simhash",
-                    urls=signatures, collect_flagged=False,
+                    urls=signatures, collect_flagged=True,
                 )
                 parts.append(pairs)
                 flagged_parts.append(flagged)
             if "substring" in self.detectors:
                 pairs, flagged = substring_candidates(
-                    reps, cfg, collect_flagged=False
+                    reps, cfg, collect_flagged=True
                 )
                 parts.append(pairs)
                 flagged_parts.append(flagged)
 
             # never silent: salted and dropped mega-buckets are first-class
             # metrics (SURVEY §7.4 risk 4) — recorded from a concurrent
-            # driver thread; run() joins the thread (and re-raises any
-            # failure) before returning, so callers always see the metric
+            # driver thread (with eager PASS 1 the rows are already local,
+            # so the thread costs no Spark job; the lazy fallback below
+            # keeps externally-built flagged frames working); run() joins
+            # the thread (and re-raises any failure) before returning, so
+            # callers always see the metric
             def _account() -> None:
                 self.spark.sparkContext.setJobDescription(
                     "stage:candidate_pairs (flagged accounting)"
